@@ -1,0 +1,128 @@
+"""Batched plan executor — the TPU-native replacement for ``generic_frame_loop``.
+
+The reference walks frame pairs in Python, shipping one pair to the GPU and one
+result back per model call (``vfi_utils.py:199-216``). Here the expanded
+:class:`~.schedule.Plan` is executed level-by-level: every task in a DAG level is
+independent, so tasks are gathered into ``[B, H, W, C]`` batches and dispatched as a
+single jitted call with a real batch dimension and a per-task timestep vector — the
+pattern RIFE's node loop approximates in Python (``rife/__init__.py:185-222``), done
+properly with one XLA program.
+
+Frames stay device-resident for the whole plan (the BASELINE "HBM-resident frame
+window" north star); nothing round-trips through the host between tasks. The last
+chunk of every level is padded up to ``batch_size`` by repeating its first task so a
+plan compiles exactly one program per (level-width bucket, frame shape).
+
+``clear_cache_after_n_frames`` from the reference API is accepted by the node layer
+and ignored: XLA owns allocation, and the executor holds no per-pair Python garbage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .schedule import Plan, Source, Task
+
+Array = jnp.ndarray
+
+__all__ = ["run_plan", "run_plan_window4"]
+
+
+def _gather(
+    frames: Array, produced: Dict[int, Array], sources: Sequence[Source]
+) -> Array:
+    """Stack a batch of frames addressed by plan sources. Original-frame runs are
+    fetched with one take(); task outputs are stacked from the produced map."""
+    parts: List[Array] = []
+    orig_idx: List[int] = []
+
+    def flush():
+        nonlocal orig_idx
+        if orig_idx:
+            parts.append(jnp.take(frames, jnp.asarray(orig_idx), axis=0))
+            orig_idx = []
+
+    for kind, idx in sources:
+        if kind == "orig":
+            orig_idx.append(idx)
+        else:
+            flush()
+            parts.append(produced[idx][None])
+    flush()
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def run_plan(
+    frames: Array,
+    plan: Plan,
+    model_fn: Callable[[Array, Array, Array], Array],
+    batch_size: int = 8,
+    out_dtype=None,
+) -> Array:
+    """Execute ``plan`` over NHWC ``frames`` with a batched model.
+
+    ``model_fn(f0, f1, t) -> mid`` takes ``[B, H, W, C]`` endpoint batches and a
+    ``[B]`` timestep vector (ignored by midpoint-mode models) and returns the
+    ``[B, H, W, C]`` intermediate frames. It should be jitted by the caller; the
+    executor guarantees a fixed batch shape so at most ``ceil(max_level/B)`` distinct
+    widths are seen, all equal to ``batch_size``.
+
+    Returns the assembled ``[n_outputs, H, W, C]`` frame sequence.
+    """
+    frames = jnp.asarray(frames)
+    produced: Dict[int, Array] = {}
+
+    for level in plan.levels:
+        for start in range(0, len(level), batch_size):
+            chunk: List[Task] = level[start : start + batch_size]
+            n = len(chunk)
+            pad = batch_size - n
+            src0 = [t.src0 for t in chunk] + [chunk[0].src0] * pad
+            src1 = [t.src1 for t in chunk] + [chunk[0].src1] * pad
+            ts = [t.t if t.t is not None else 0.5 for t in chunk]
+            ts += [ts[0]] * pad
+            f0 = _gather(frames, produced, src0)
+            f1 = _gather(frames, produced, src1)
+            tvec = jnp.asarray(ts, dtype=frames.dtype)
+            mids = model_fn(f0, f1, tvec)
+            for i, task in enumerate(chunk):
+                produced[task.id] = mids[i]
+
+    out = _gather(frames, produced, plan.output)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
+
+
+def run_plan_window4(
+    frames: Array,
+    plan: Plan,
+    model_fn: Callable[[Array, Array, Array, Array], Array],
+    batch_size: int = 4,
+    out_dtype=None,
+) -> Array:
+    """Execute a :func:`~.schedule.plan_window4` plan.
+
+    ``model_fn(f0, f1, f2, f3) -> mid`` consumes ``[B, H, W, C]`` batches of the four
+    window frames (window start = ``task.pair``) and returns the frame interpolated
+    between ``f1`` and ``f2``.
+    """
+    frames = jnp.asarray(frames)
+    produced: Dict[int, Array] = {}
+    tasks = plan.tasks
+    for start in range(0, len(tasks), batch_size):
+        chunk = tasks[start : start + batch_size]
+        n = len(chunk)
+        starts = [t.pair for t in chunk] + [chunk[0].pair] * (batch_size - n)
+        idx = jnp.asarray(starts)
+        windows = [jnp.take(frames, idx + k, axis=0) for k in range(4)]
+        mids = model_fn(*windows)
+        for i, task in enumerate(chunk):
+            produced[task.id] = mids[i]
+    out = _gather(frames, produced, plan.output)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out

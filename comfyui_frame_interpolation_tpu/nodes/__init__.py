@@ -1,0 +1,23 @@
+"""Node/API layer — ComfyUI-compatible node classes (reference L5).
+
+Every VFI node follows the reference protocol: classmethod ``INPUT_TYPES()``,
+``RETURN_TYPES = ("IMAGE",)``, ``FUNCTION = "vfi"``, and a
+``CATEGORY = "ComfyUI-Frame-Interpolation/VFI"`` (e.g. ``vfi_models/rife/__init__.py:
+36-75``) — but ``vfi`` consumes and returns NHWC jax arrays.
+"""
+
+from .util_nodes import FloatToInt, MakeInterpolationStateList
+
+NODE_CLASS_MAPPINGS = {
+    "Make Interpolation State List": MakeInterpolationStateList,
+    "VFI FloatToInt": FloatToInt,
+}
+NODE_DISPLAY_NAME_MAPPINGS = {
+    "Make Interpolation State List": "Make Interpolation State List",
+    "VFI FloatToInt": "VFI FloatToInt",
+}
+
+
+def register(name: str, cls, display_name: str = None) -> None:
+    NODE_CLASS_MAPPINGS[name] = cls
+    NODE_DISPLAY_NAME_MAPPINGS[name] = display_name or name

@@ -1,0 +1,129 @@
+"""Backward bilinear warping (grid-sample) — pure XLA gather.
+
+Replicates the semantics the reference models rely on:
+
+* ``rife_arch.py:31-70`` — ``warp(img, flow)``: sample ``img`` at
+  ``(x + flow_x, y + flow_y)`` with bilinear filtering, ``align_corners=True``
+  normalization (which cancels against the grid construction, leaving pure pixel
+  offsets) and ``padding_mode="border"``.
+* torch ``grid_sample`` generally (used via normalized grids in GMFlow, M2M backwarp,
+  etc.) — exposed as :func:`grid_sample` with both padding modes and both
+  align-corners conventions.
+
+Layout: NHWC images, ``[N, H, W, 2]`` flows/grids with channel 0 = x, 1 = y —
+matching the reference's NCHW channel order transposed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+__all__ = ["warp", "grid_sample", "bilinear_sample"]
+
+
+def _gather_2d(img: Array, ix: Array, iy: Array) -> Array:
+    """Gather img[n, iy, ix, :] for integer index maps of shape [N, H', W']."""
+    n, h, w, c = img.shape
+    flat = img.reshape(n, h * w, c)
+    idx = (iy * w + ix).reshape(n, -1, 1)
+    out = jnp.take_along_axis(flat, idx, axis=1)
+    return out.reshape(n, ix.shape[1], ix.shape[2], c)
+
+
+def bilinear_sample(
+    img: Array, sx: Array, sy: Array, padding_mode: str = "border"
+) -> Array:
+    """Bilinear sample ``img`` (NHWC) at unnormalized pixel coords ``sx, sy``
+    ([N, H', W']), matching torch ``grid_sample``'s corner cases.
+
+    ``border``: coordinates are clamped to the image rectangle before the bilinear
+    weights are computed (torch clips the coordinate, not just the indices).
+    ``zeros``: out-of-bounds taps contribute zero.
+    """
+    n, h, w, c = img.shape
+    compute_dtype = img.dtype
+    sx = sx.astype(compute_dtype)
+    sy = sy.astype(compute_dtype)
+
+    if padding_mode == "border":
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+        sy = jnp.clip(sy, 0.0, h - 1.0)
+    elif padding_mode != "zeros":
+        raise ValueError(f"unsupported padding_mode {padding_mode}")
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    if padding_mode == "zeros":
+        # per-tap validity; indices clamped only for the gather
+        vx0 = (x0i >= 0) & (x0i < w)
+        vx1 = (x1i >= 0) & (x1i < w)
+        vy0 = (y0i >= 0) & (y0i < h)
+        vy1 = (y1i >= 0) & (y1i < h)
+        m00 = (vy0 & vx0).astype(compute_dtype)[..., None]
+        m01 = (vy0 & vx1).astype(compute_dtype)[..., None]
+        m10 = (vy1 & vx0).astype(compute_dtype)[..., None]
+        m11 = (vy1 & vx1).astype(compute_dtype)[..., None]
+    else:
+        m00 = m01 = m10 = m11 = jnp.ones((), compute_dtype)
+
+    x0c = jnp.clip(x0i, 0, w - 1)
+    x1c = jnp.clip(x1i, 0, w - 1)
+    y0c = jnp.clip(y0i, 0, h - 1)
+    y1c = jnp.clip(y1i, 0, h - 1)
+
+    p00 = _gather_2d(img, x0c, y0c) * m00
+    p01 = _gather_2d(img, x1c, y0c) * m01
+    p10 = _gather_2d(img, x0c, y1c) * m10
+    p11 = _gather_2d(img, x1c, y1c) * m11
+
+    w00 = ((1.0 - wx) * (1.0 - wy))[..., None]
+    w01 = (wx * (1.0 - wy))[..., None]
+    w10 = ((1.0 - wx) * wy)[..., None]
+    w11 = (wx * wy)[..., None]
+    return p00 * w00 + p01 * w01 + p10 * w10 + p11 * w11
+
+
+def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
+    """Backward-warp ``img`` by ``flow`` (both NHWC; flow has 2 channels, x then y).
+
+    Exactly ``rife_arch.py:31-70``: sample at ``(x + flow_x, y + flow_y)``,
+    bilinear, align_corners=True + border padding (the normalization of the grid by
+    ``(size-1)/2`` cancels, so the semantics reduce to pixel-space offsets).
+    """
+    n, h, w, _ = flow.shape
+    xs = jnp.arange(w, dtype=flow.dtype)
+    ys = jnp.arange(h, dtype=flow.dtype)
+    gx = jnp.broadcast_to(xs[None, None, :], (n, h, w))
+    gy = jnp.broadcast_to(ys[None, :, None], (n, h, w))
+    return bilinear_sample(img, gx + flow[..., 0], gy + flow[..., 1], padding_mode)
+
+
+def grid_sample(
+    img: Array,
+    grid: Array,
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> Array:
+    """torch ``F.grid_sample(mode="bilinear")`` parity for normalized grids.
+
+    ``grid``: [N, H', W', 2] in [-1, 1], channel 0 = x, 1 = y.
+    """
+    n, h, w, _ = img.shape
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    if align_corners:
+        sx = (gx + 1.0) * 0.5 * (w - 1)
+        sy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        sx = ((gx + 1.0) * w - 1.0) * 0.5
+        sy = ((gy + 1.0) * h - 1.0) * 0.5
+    return bilinear_sample(img, sx, sy, padding_mode)

@@ -1,0 +1,55 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so sharding
+tests exercise a real Mesh without TPU hardware. Must run before jax imports."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import importlib.util
+import types
+
+import pytest
+
+REFERENCE_DIR = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+def load_reference_module(relpath: str, name: str):
+    """Load a reference arch file directly by path, bypassing package __init__
+    side effects, with the external `comfy` host API stubbed out."""
+    import torch
+
+    if "comfy" not in sys.modules:
+        comfy = types.ModuleType("comfy")
+        mm = types.ModuleType("comfy.model_management")
+        mm.get_torch_device = lambda: torch.device("cpu")
+        mm.soft_empty_cache = lambda: None
+        mm.is_nvidia = lambda: False
+        comfy.model_management = mm
+        sys.modules["comfy"] = comfy
+        sys.modules["comfy.model_management"] = mm
+    path = os.path.join(REFERENCE_DIR, relpath)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not has_reference():
+        pytest.skip("reference repo not available")
+    return REFERENCE_DIR
