@@ -152,6 +152,7 @@ def plan_timestep(
     n_frames: int,
     multiplier: Union[int, Sequence[int]],
     states: Optional[InterpolationStateList] = None,
+    zero_drops_pair: bool = True,
 ) -> Plan:
     """Expand the timestep-mode schedule used by the generic frame loop and RIFE.
 
@@ -160,6 +161,11 @@ def plan_timestep(
     frame ``i`` alone. A trailing original frame closes the sequence — except for the
     reference's list-mode quirk where ``m == 0`` drops the pair entirely (and drops
     the clip-final frame when it lands on the last pair).
+
+    ``zero_drops_pair``: the generic loop (``vfi_utils.py:370``) drops ``m == 0``
+    pairs including their leading frame; RIFE's own task loop
+    (``rife/__init__.py:170-174,225-230``) instead emits the frame with no
+    intermediates — pass ``False`` for RIFE-node semantics.
     """
     if n_frames < 2:
         raise ValueError(f"need at least 2 frames, got {n_frames}")
@@ -171,7 +177,7 @@ def plan_timestep(
     output: List[Source] = []
     for pair in range(n_pairs):
         m = ms[pair]
-        if is_list and m == 0:
+        if is_list and m == 0 and zero_drops_pair:
             # Reference list-mode: `if multiplier == 0: continue` (vfi_utils.py:370)
             # drops the pair including its leading frame; if this is the last pair the
             # final frame is dropped too (the previous pair's sequence was trimmed).
@@ -185,7 +191,7 @@ def plan_timestep(
                 Task(tid, pair, k / m, ("orig", pair), ("orig", pair + 1), depth=0)
             )
             output.append(("task", tid))
-    if not (is_list and ms[-1] == 0):
+    if not (is_list and ms[-1] == 0 and zero_drops_pair):
         output.append(("orig", n_frames - 1))
     return Plan(n_frames, tasks, output)
 

@@ -1,0 +1,240 @@
+"""Minimal functional NN layer library with torch-parity numerics, NHWC layout.
+
+Design: model parameters are nested dicts mirroring the source torch module tree
+(mechanically converted from a ``state_dict`` by ``utils/ckpt.py``), with leaves kept
+in **torch layout** (OIHW conv weights, IOHW transposed-conv weights). Layer
+functions transpose to TPU layouts (HWIO) at trace time — a handful of tiny
+transposes per forward that XLA folds into the convolution's layout assignment,
+in exchange for a conversion step that needs zero per-model knowledge.
+
+Numerics contracts (verified against torch in tests/test_layers.py):
+
+* ``conv2d``           — ``nn.Conv2d`` (stride/padding/dilation/groups)
+* ``conv_transpose2d`` — ``nn.ConvTranspose2d`` via input-dilated conv with a
+                          spatially flipped, IO-swapped kernel
+* ``resize_bilinear``  — ``F.interpolate(mode="bilinear")`` for both
+                          align_corners conventions, **no antialiasing** (torch
+                          default) — jax.image.resize antialiases on downscale,
+                          so this is a custom two-tap gather per axis
+* ``resize_nearest``   — ``F.interpolate(mode="nearest")`` (floor indexing)
+* ``pixel_shuffle``    — ``nn.PixelShuffle`` channel ordering, NHWC-adapted
+* ``prelu``/``leaky_relu``/``avg_pool2d``/``max_pool2d`` — torch equivalents
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+Params = Dict[str, "Array | Params"]
+
+__all__ = [
+    "conv2d",
+    "conv_transpose2d",
+    "prelu",
+    "leaky_relu",
+    "pixel_shuffle",
+    "resize_bilinear",
+    "resize_nearest",
+    "resize_by_scale",
+    "avg_pool2d",
+    "max_pool2d",
+    "sigmoid",
+    "interpolate_like",
+]
+
+
+def _pair(v) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv2d(
+    x: Array,
+    node: Params,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+    groups: int = 1,
+) -> Array:
+    """torch ``nn.Conv2d`` on NHWC input. ``node['weight']``: (O, I/g, kh, kw)."""
+    w = node["weight"]
+    w = jnp.transpose(w, (2, 3, 1, 0))  # HWIO
+    if padding == "same_torch":
+        # torch Conv2d(padding='same'): for even kernels pads one MORE on the
+        # right/bottom (left = total//2, right = total - left)
+        kh, kw = w.shape[0], w.shape[1]
+        dh, dw = _pair(dilation)
+        th, tw = dh * (kh - 1), dw * (kw - 1)
+        pad_cfg = ((th // 2, th - th // 2), (tw // 2, tw - tw // 2))
+    elif isinstance(padding, tuple) and padding and isinstance(padding[0], tuple):
+        pad_cfg = padding
+    else:
+        ph, pw = _pair(padding)
+        pad_cfg = ((ph, ph), (pw, pw))
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=_pair(stride),
+        padding=pad_cfg,
+        rhs_dilation=_pair(dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if "bias" in node and node["bias"] is not None:
+        out = out + node["bias"].astype(x.dtype)
+    return out
+
+
+def conv_transpose2d(
+    x: Array,
+    node: Params,
+    stride: Union[int, Tuple[int, int]] = 2,
+    padding: Union[int, Tuple[int, int]] = 1,
+) -> Array:
+    """torch ``nn.ConvTranspose2d`` (output_padding=0, groups=1) on NHWC.
+
+    ``node['weight']``: (I, O, kh, kw). Implemented as the standard equivalence:
+    a convolution over the stride-dilated input with the spatially flipped kernel
+    and padding ``k - 1 - p`` — exactly torch's gradient-of-conv semantics.
+    """
+    w = node["weight"]  # (I, O, kh, kw)
+    kh, kw = w.shape[2], w.shape[3]
+    w = jnp.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))  # HWIO with I=in, O=out
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+        lhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in node and node["bias"] is not None:
+        out = out + node["bias"].astype(x.dtype)
+    return out
+
+
+def prelu(x: Array, node: Params) -> Array:
+    """torch ``nn.PReLU``; weight shape (C,) applied over the channel axis."""
+    w = node["weight"].astype(x.dtype)
+    return jnp.where(x >= 0, x, x * w)
+
+
+def leaky_relu(x: Array, negative_slope: float = 0.01) -> Array:
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def sigmoid(x: Array) -> Array:
+    return jax.nn.sigmoid(x)
+
+
+def pixel_shuffle(x: Array, r: int) -> Array:
+    """torch ``nn.PixelShuffle`` adapted to NHWC:
+    out[n, h*r+i, w*r+j, c] = x[n, h, w, c*r*r + i*r + j]."""
+    n, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(n, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(n, h * r, w * r, c)
+
+
+def _bilinear_axis_weights(
+    in_size: int, out_size: int, align_corners: bool
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static two-tap gather indices/weights for one axis (torch interpolate)."""
+    out = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros(1)
+        else:
+            src = out * (in_size - 1) / (out_size - 1)
+    else:
+        src = (out + 0.5) * (in_size / out_size) - 0.5
+        src = np.maximum(src, 0.0)  # torch clamps the source coordinate at 0
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.minimum(i0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    return i0, i1, w1
+
+
+def resize_bilinear(
+    x: Array, out_hw: Tuple[int, int], align_corners: bool = False
+) -> Array:
+    """torch ``F.interpolate(mode="bilinear")`` — no antialias, both conventions."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    dt = x.dtype
+    i0, i1, wy = _bilinear_axis_weights(h, oh, align_corners)
+    x = x[:, i0, :, :] * (1.0 - wy[None, :, None, None]).astype(dt) + x[
+        :, i1, :, :
+    ] * wy[None, :, None, None].astype(dt)
+    j0, j1, wx = _bilinear_axis_weights(w, ow, align_corners)
+    x = x[:, :, j0, :] * (1.0 - wx[None, None, :, None]).astype(dt) + x[
+        :, :, j1, :
+    ] * wx[None, None, :, None].astype(dt)
+    return x
+
+
+def resize_nearest(x: Array, out_hw: Tuple[int, int]) -> Array:
+    """torch ``F.interpolate(mode="nearest")`` (floor of src = dst * in/out)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    iy = np.floor(np.arange(oh) * (h / oh)).astype(np.int64)
+    ix = np.floor(np.arange(ow) * (w / ow)).astype(np.int64)
+    return x[:, iy][:, :, ix]
+
+
+def resize_by_scale(
+    x: Array, scale: float, align_corners: bool = False, mode: str = "bilinear"
+) -> Array:
+    """torch ``F.interpolate(scale_factor=scale)``: output = floor(in * scale).
+
+    Coordinate mapping uses the realized in/out ratio, which equals torch's use of
+    the given scale_factor whenever ``in * scale`` is integral (always true for the
+    power-of-two pyramids in the reference models).
+    """
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = int(math.floor(h * scale)), int(math.floor(w * scale))
+    if mode == "bilinear":
+        return resize_bilinear(x, (oh, ow), align_corners)
+    if mode == "nearest":
+        return resize_nearest(x, (oh, ow))
+    raise ValueError(mode)
+
+
+def interpolate_like(x: Array, ref: Array, align_corners: bool = False) -> Array:
+    return resize_bilinear(x, (ref.shape[1], ref.shape[2]), align_corners)
+
+
+def avg_pool2d(x: Array, kernel: int, stride: Optional[int] = None) -> Array:
+    stride = stride or kernel
+    out = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        (1, kernel, kernel, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+    return out / (kernel * kernel)
+
+
+def max_pool2d(x: Array, kernel: int, stride: Optional[int] = None) -> Array:
+    stride = stride or kernel
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        (1, kernel, kernel, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )

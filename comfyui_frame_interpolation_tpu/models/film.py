@@ -1,0 +1,218 @@
+"""FILM (Frame Interpolation for Large Motion) — TPU-native reimplementation.
+
+Reference: ``vfi_models/film/film_arch.py`` (the repo's pure-PyTorch port of the
+TorchScript ``film_net_fp32.pt`` the node actually loads,
+``film/__init__.py:74``). Three stages:
+
+1. cascaded feature pyramid — a shared ``SubTreeExtractor`` applied at every
+   image-pyramid level, features concatenated along the cascade diagonals
+   (``film_arch.py:83-162``);
+2. residual flow pyramid — coarse-to-fine PWC-style refinement with a predictor
+   shared across coarse levels and per-level predictors for the finest three
+   (``film_arch.py:500-617``), synthesized into bidirectional flows and scaled
+   by the (fixed) mid time (``film_arch.py:418-429``: FILM always interpolates
+   t=0.5 internally; fractional times come from the node's bisection schedule);
+3. fusion — U-Net-style decoder over the warped image+feature+flow pyramid with
+   nearest-neighbor resize convolutions (``film_arch.py:219-292``).
+
+Parameter tree keys mirror the torch module names exactly (``extract``,
+``predict_flow``, ``fuse``), so both the TorchScript checkpoint's state dict and
+the reference port convert mechanically.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp import warp
+from .common import avg_pool2d, conv2d, leaky_relu, resize_bilinear, resize_nearest
+
+Array = jnp.ndarray
+Params = Dict
+
+PYRAMID_LEVELS = 7
+FUSION_PYRAMID_LEVELS = 5
+SUB_LEVELS = 4
+
+
+def _conv(p: Params, x: Array, size: int, activation: bool = True) -> Array:
+    """reference ``conv()`` (film_arch.py:784-798): Conv2d(padding='same')
+    optionally followed by LeakyReLU(0.2). With activation the torch module is a
+    Sequential (keys ``0.weight``); without, a bare Conv2d."""
+    node = p["0"] if activation else p
+    x = conv2d(x, node, stride=1, padding="same_torch")
+    return leaky_relu(x, 0.2) if activation else x
+
+
+def _subtree_extract(p: Params, image: Array, n: int) -> List[Array]:
+    """``SubTreeExtractor.forward`` (film_arch.py:102-121)."""
+    head = image
+    pyramid = []
+    for i in range(SUB_LEVELS):
+        if i >= n:
+            break
+        node = p["convs"][str(i)]
+        head = _conv(node["0"], head, 3)
+        head = _conv(node["1"], head, 3)
+        pyramid.append(head)
+        if i < n - 1:
+            head = avg_pool2d(head, 2, 2)
+    return pyramid
+
+
+def _extract_features(p: Params, image_pyramid: List[Array]) -> List[Array]:
+    """``FeatureExtractor.forward`` (film_arch.py:133-162)."""
+    n_levels = len(image_pyramid)
+    sub_pyramids = [
+        _subtree_extract(
+            p["extract_sublevels"], image_pyramid[i], min(n_levels - i, SUB_LEVELS)
+        )
+        for i in range(n_levels)
+    ]
+    feature_pyramid = []
+    for i in range(n_levels):
+        features = sub_pyramids[i][0]
+        for j in range(1, SUB_LEVELS):
+            if j <= i:
+                features = jnp.concatenate(
+                    [features, sub_pyramids[i - j][j]], axis=-1
+                )
+        feature_pyramid.append(features)
+    return feature_pyramid
+
+
+def _flow_estimator(p: Params, fa: Array, fb: Array, num_convs: int) -> Array:
+    """``FlowEstimator.forward`` (film_arch.py:530-543)."""
+    net = jnp.concatenate([fa, fb], axis=-1)
+    for i in range(num_convs):
+        net = _conv(p["_convs"][str(i)], net, 3)
+    net = _conv(p["_convs"][str(num_convs)], net, 1)
+    net = _conv(p["_convs"][str(num_convs + 1)], net, 1, activation=False)
+    return net
+
+
+_FLOW_CONVS = (3, 3, 3, 3)
+
+
+def _predict_flow(p: Params, pyr_a: List[Array], pyr_b: List[Array]) -> List[Array]:
+    """``PyramidFlowEstimator.forward`` (film_arch.py:567-617): shared predictor
+    (= the last-constructed one) for coarse levels, per-level predictors
+    (``_predictors``, stored fine-order-reversed) for the finest three."""
+    levels = len(pyr_a)
+    n_fine = len(_FLOW_CONVS) - 1  # predictors 0..2 are per-level
+    shared = p["_predictor"]
+    v = _flow_estimator(shared, pyr_a[-1], pyr_b[-1], _FLOW_CONVS[-1])
+    residuals = [v]
+    for i in range(levels - 2, n_fine - 1, -1):
+        level_hw = pyr_a[i].shape[1:3]
+        v = resize_bilinear(2.0 * v, level_hw, align_corners=False)
+        warped = warp(pyr_b[i], v)
+        v_res = _flow_estimator(shared, pyr_a[i], warped, _FLOW_CONVS[-1])
+        residuals.insert(0, v_res)
+        v = v_res + v
+    for k in range(n_fine):
+        i = n_fine - 1 - k
+        node = p["_predictors"][str(k)]
+        level_hw = pyr_a[i].shape[1:3]
+        v = resize_bilinear(2.0 * v, level_hw, align_corners=False)
+        warped = warp(pyr_b[i], v)
+        v_res = _flow_estimator(node, pyr_a[i], warped, _FLOW_CONVS[i])
+        residuals.insert(0, v_res)
+        v = v_res + v
+    return residuals
+
+
+def _flow_pyramid_synthesis(residuals: List[Array]) -> List[Array]:
+    """film_arch.py:745-755."""
+    flow = residuals[-1]
+    pyramid = [flow]
+    for res in residuals[:-1][::-1]:
+        hw = res.shape[1:3]
+        flow = res + resize_bilinear(2.0 * flow, hw, align_corners=False)
+        pyramid.insert(0, flow)
+    return pyramid
+
+
+def _fuse(p: Params, pyramid: List[Array]) -> Array:
+    """``Fusion.forward`` (film_arch.py:258-292). ``convs[k]`` corresponds to
+    level ``n_layers-1-k``; entry 0 is a bare size-2 conv, entries 1-2 are
+    size-3 conv+lrelu."""
+    net = pyramid[-1]
+    n = len(pyramid) - 1  # == n_layers
+    for k in range(n):
+        i = n - 1 - k
+        layers = p["convs"][str(k)]
+        net = resize_nearest(net, pyramid[i].shape[1:3])
+        net = _conv(layers["0"], net, 2, activation=False)
+        net = jnp.concatenate([pyramid[i], net], axis=-1)
+        net = _conv(layers["1"], net, 3)
+        net = _conv(layers["2"], net, 3)
+    return conv2d(net, p["output_conv"], stride=1, padding=0)
+
+
+def apply(params: Params, x0: Array, x1: Array, timestep=0.5) -> Array:
+    """``Interpolator.forward`` (film_arch.py:401-459), NHWC.
+
+    ``timestep`` is accepted for executor-signature uniformity but — exactly as
+    in the reference (film_arch.py:427: ``mid_time = 0.5``) — the model always
+    synthesizes the midpoint; fractional times come from bisection scheduling.
+    Inputs must be pre-padded to a multiple of 64 (the node pads the batch,
+    ``film_arch.py:638-646``); output has the input's shape.
+    """
+    del timestep
+    pyr0 = [x0]
+    pyr1 = [x1]
+    for _ in range(PYRAMID_LEVELS - 1):
+        pyr0.append(avg_pool2d(pyr0[-1], 2, 2))
+        pyr1.append(avg_pool2d(pyr1[-1], 2, 2))
+
+    feat0 = _extract_features(params["extract"], pyr0)
+    feat1 = _extract_features(params["extract"], pyr1)
+
+    fwd_res = _predict_flow(params["predict_flow"], feat0, feat1)
+    bwd_res = _predict_flow(params["predict_flow"], feat1, feat0)
+
+    fwd_flow = _flow_pyramid_synthesis(fwd_res)[:FUSION_PYRAMID_LEVELS]
+    bwd_flow = _flow_pyramid_synthesis(bwd_res)[:FUSION_PYRAMID_LEVELS]
+
+    mid = 0.5
+    bwd_flow = [f * mid for f in bwd_flow]
+    fwd_flow = [f * (1.0 - mid) for f in fwd_flow]
+
+    to_warp0 = [
+        jnp.concatenate([pyr0[i], feat0[i]], axis=-1)
+        for i in range(FUSION_PYRAMID_LEVELS)
+    ]
+    to_warp1 = [
+        jnp.concatenate([pyr1[i], feat1[i]], axis=-1)
+        for i in range(FUSION_PYRAMID_LEVELS)
+    ]
+
+    fwd_warped = [warp(f, fl) for f, fl in zip(to_warp0, bwd_flow)]
+    bwd_warped = [warp(f, fl) for f, fl in zip(to_warp1, fwd_flow)]
+
+    aligned = [
+        jnp.concatenate([fw, bw, bf, ff], axis=-1)
+        for fw, bw, bf, ff in zip(fwd_warped, bwd_warped, bwd_flow, fwd_flow)
+    ]
+    return _fuse(params["fuse"], aligned)
+
+
+def make_model_fn(params: Params, dtype=jnp.float32):
+    """Batched jitted model callable for the plan executor.
+
+    Like the reference node (``film/__init__.py:92-95``), frames are fed at
+    their native resolution — the pyramid handles arbitrary sizes because every
+    upsample resizes to the recorded finer-level shape — and the result is
+    clamped to [0, 1] (``film/__init__.py:39``).
+    """
+
+    @jax.jit
+    def model_fn(f0, f1, t):
+        out = apply(params, f0.astype(dtype), f1.astype(dtype), t)
+        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+
+    return model_fn

@@ -7,12 +7,15 @@ Every VFI node follows the reference protocol: classmethod ``INPUT_TYPES()``,
 """
 
 from .util_nodes import FloatToInt, MakeInterpolationStateList
+from .rife_node import RIFE_VFI
 
 NODE_CLASS_MAPPINGS = {
+    "RIFE VFI": RIFE_VFI,
     "Make Interpolation State List": MakeInterpolationStateList,
     "VFI FloatToInt": FloatToInt,
 }
 NODE_DISPLAY_NAME_MAPPINGS = {
+    "RIFE VFI": "RIFE VFI (recommend rife47 and rife49)",
     "Make Interpolation State List": "Make Interpolation State List",
     "VFI FloatToInt": "VFI FloatToInt",
 }

@@ -1,0 +1,219 @@
+"""Pallas TPU bilinear backward-warp kernel.
+
+Why: XLA:TPU lowers per-pixel gathers to near-scalar code — a single 1080p warp
+costs ~110-150 ms, and RIFE does 14 of them per forward (the entire gap between
+2.2 s/frame and tens of ms). Mosaic's ``tpu.dynamic_gather`` gives a vectorized
+lane crossbar, but only within one 128-lane vreg — so the kernel localizes the
+gather:
+
+For each [8, 128] output tile (all C channels of one image together):
+  1. read the flow tile, compute clamped source coords (border semantics, exactly
+     matching ``ops.warp``),
+  2. derive a dynamic, tile-aligned window base (min source coord over the tile,
+     rounded down to the (8, 128) tiling) and DMA an aligned ``[C, WIN_H, WIN_W]``
+     source window from HBM into VMEM,
+  3. accumulate the bilinear sample over the window rows actually touched
+     (``fori_loop`` between the tile's min/max source row): for each row, a
+     sublane one-hot selects the two y-taps' weights, and per-128-column chunk a
+     same-shape lane crossbar (``take_along_axis`` axis=1, single vreg) fetches
+     the two x-taps — index arithmetic done once, reused for every channel.
+
+Local flow deviation beyond the window is clamped to the window edge — only
+reachable when the flow varies by more than ``WIN_H-17`` px vertically (or
+``127`` px horizontally) *within one 8x128 tile*, i.e. at violent motion
+discontinuities. Exactness vs the XLA path is asserted in tests on smooth and
+sharp flows.
+
+Measured (v5e, 2x1088x1920x3 fp32): ~8-20 ms vs ~110-150 ms for the XLA gather.
+Window geometry note: some (win_h, win_w) combinations — e.g. 16x256, 24x384 —
+hit a Mosaic layout cliff and run 10x slower; 32x384 and 32x256 are fast. Keep
+win_h=32 unless re-benchmarked.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jnp.ndarray
+
+TILE_H = 8
+TILE_W = 128
+DEF_WIN_H = 32
+DEF_WIN_W = 384
+
+
+def _row_gather(row_chunks, lx, win_w):
+    """Gather ``row[lx]`` for a [8,128] index tile from a window row held as a
+    list of 128-lane chunks (each already broadcast to [8,128])."""
+    out = jnp.zeros(lx.shape, row_chunks[0].dtype)
+    for ci, chunk in enumerate(row_chunks):
+        base = ci * TILE_W
+        in_chunk = (lx >= base) & (lx < base + TILE_W)
+        local = jnp.clip(lx - base, 0, TILE_W - 1)
+        gathered = jnp.take_along_axis(chunk, local, axis=1)
+        out = jnp.where(in_chunk, gathered, out)
+    return out
+
+
+def _warp_kernel(
+    fx_ref, fy_ref, img_ref, out_ref, win_ref, acc_ref, sem,
+    *, h: int, w: int, win_h: int, win_w: int, c: int, skip_groups: bool
+):
+    bc = pl.program_id(0)
+    hi = pl.program_id(1)
+    wi = pl.program_id(2)
+
+    fx = fx_ref[0].astype(jnp.float32)  # [8, 128]; coords always in f32 —
+    fy = fy_ref[0].astype(jnp.float32)  # bf16 pixel coords are lossy at >256 px
+
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + hi * TILE_H
+    ).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + wi * TILE_W
+    ).astype(jnp.float32)
+
+    sx = jnp.clip(xs + fx, 0.0, w - 1.0)
+    sy = jnp.clip(ys + fy, 0.0, h - 1.0)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx1 = (sx - x0).astype(jnp.float32)
+    wy1 = (sy - y0).astype(jnp.float32)
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    # DMA bases must be tile-aligned (8 sublanes / 128 lanes); align down and
+    # rely on the window margin to absorb the lost offset.
+    by = jnp.clip((jnp.min(y0i) // TILE_H) * TILE_H, 0, max(h - win_h, 0))
+    bx = jnp.clip((jnp.min(x0i) // TILE_W) * TILE_W, 0, max(w - win_w, 0))
+    by = pl.multiple_of(by, TILE_H)
+    bx = pl.multiple_of(bx, TILE_W)
+
+    copy = pltpu.make_async_copy(
+        img_ref.at[bc, pl.ds(by, win_h), pl.ds(bx, win_w)], win_ref, sem
+    )
+    copy.start()
+
+    # local tap indices, clamped into the window (edge clamp beyond)
+    ly0 = jnp.clip(y0i - by, 0, win_h - 1)
+    ly1 = jnp.clip(y0i + 1 - by, 0, win_h - 1)
+    lx0 = jnp.clip(x0i - bx, 0, win_w - 1)
+    lx1 = jnp.clip(x0i + 1 - bx, 0, win_w - 1)
+    wx0 = 1.0 - wx1
+
+    copy.wait()
+
+    n_chunks = win_w // TILE_W
+
+    # Fully static unroll over the window rows. Empirically load-bearing Mosaic
+    # codegen facts (all measured on v5e):
+    #  - predication (pl.when), VMEM scratch accumulators, and dynamic row
+    #    loops each drop codegen into a ~6-8x slower path;
+    #  - hoisting the per-chunk masks/indices out of the row loop creates
+    #    long-lived vregs that spill — recompute them per row instead.
+    acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    for r in range(win_h):
+        wrow = jnp.where(ly0 == r, 1.0 - wy1, 0.0) + jnp.where(ly1 == r, wy1, 0.0)
+        chunks = [
+            jnp.broadcast_to(
+                win_ref[r : r + 1, ci * TILE_W : (ci + 1) * TILE_W],
+                (TILE_H, TILE_W),
+            ).astype(jnp.float32)
+            for ci in range(n_chunks)
+        ]
+        v0 = _row_gather(chunks, lx0, win_w)
+        v1 = _row_gather(chunks, lx1, win_w)
+        acc = acc + wrow * (v0 * wx0 + v1 * wx1)
+
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c", "win_h", "win_w", "skip_groups")
+)
+def warp_pallas_planes(
+    planes: Array,
+    fx: Array,
+    fy: Array,
+    c: int,
+    win_h: int = DEF_WIN_H,
+    win_w: int = DEF_WIN_W,
+    skip_groups: bool = True,
+) -> Array:
+    """Warp channel planes ``[B*C, H, W]`` by per-image flows ``fx/fy [B, H, W]``.
+
+    H must be a multiple of 8 and W of 128 (caller pads)."""
+    p, h, w = planes.shape
+    b = fx.shape[0]
+    assert p == b * c, (p, b, c)
+    assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
+    win_h = min(win_h, h)
+    win_w = min(win_w, w)
+    if w < TILE_W:
+        raise ValueError("width must be >= 128 for the pallas warp")
+
+    grid = (p, h // TILE_H, w // TILE_W)
+    kernel = functools.partial(
+        _warp_kernel, h=h, w=w, win_h=win_h, win_w=win_w, c=c,
+        skip_groups=skip_groups,
+    )
+    flow_spec = pl.BlockSpec(
+        (1, TILE_H, TILE_W),
+        lambda bc, hi, wi: (bc // c, hi, wi),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            flow_spec,
+            flow_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),  # full planes stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, TILE_W),
+            lambda bc, hi, wi: (bc, hi, wi),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((p, h, w), planes.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, win_w), planes.dtype),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(fx, fy, planes)
+
+
+def warp_pallas(
+    img: Array,
+    flow: Array,
+    win_h: int = DEF_WIN_H,
+    win_w: int = DEF_WIN_W,
+    skip_groups: bool = True,
+) -> Array:
+    """NHWC warp with border semantics via the Pallas kernel.
+
+    Pads H to a multiple of 8 and W to a multiple of 128 (edge replicate, so
+    border clamping against the padded extent equals clamping against the true
+    extent), warps channel planes, crops back.
+    """
+    b, h, w, c = img.shape
+    ph = -h % TILE_H
+    pw = -w % TILE_W
+    if ph or pw or w < TILE_W:
+        pw = max(pw, TILE_W - w)
+        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    planes = img.transpose(0, 3, 1, 2).reshape(b * c, img.shape[1], img.shape[2])
+    out = warp_pallas_planes(
+        planes, flow[..., 0], flow[..., 1], c, win_h=win_h, win_w=win_w,
+        skip_groups=skip_groups,
+    )
+    out = out.reshape(b, c, img.shape[1], img.shape[2]).transpose(0, 2, 3, 1)
+    return out[:, :h, :w, :]

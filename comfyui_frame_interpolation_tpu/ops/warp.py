@@ -16,11 +16,37 @@ matching the reference's NCHW channel order transposed.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-__all__ = ["warp", "grid_sample", "bilinear_sample"]
+__all__ = ["warp", "grid_sample", "bilinear_sample", "warp_xla"]
+
+
+def _tpu_available() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+_BACKEND = None
+
+
+def _backend() -> str:
+    """Resolve the warp backend once: 'pallas' on TPU unless configured off."""
+    global _BACKEND
+    if _BACKEND is None:
+        from ..core.config import load_config
+
+        cfg = load_config()
+        _BACKEND = (
+            "pallas"
+            if cfg.get("ops_backend", "pallas") == "pallas" and _tpu_available()
+            else "xla"
+        )
+    return _BACKEND
 
 
 def _gather_2d(img: Array, ix: Array, iy: Array) -> Array:
@@ -43,7 +69,10 @@ def bilinear_sample(
     ``zeros``: out-of-bounds taps contribute zero.
     """
     n, h, w, c = img.shape
-    compute_dtype = img.dtype
+    out_dtype = img.dtype
+    # coordinate/weight math always in f32: bf16/f16 pixel coordinates are lossy
+    # beyond ~256 px and would shift samples by whole pixels
+    compute_dtype = jnp.float32
     sx = sx.astype(compute_dtype)
     sy = sy.astype(compute_dtype)
 
@@ -89,7 +118,23 @@ def bilinear_sample(
     w01 = (wx * (1.0 - wy))[..., None]
     w10 = ((1.0 - wx) * wy)[..., None]
     w11 = (wx * wy)[..., None]
-    return p00 * w00 + p01 * w01 + p10 * w10 + p11 * w11
+    out = (
+        p00.astype(compute_dtype) * w00
+        + p01.astype(compute_dtype) * w01
+        + p10.astype(compute_dtype) * w10
+        + p11.astype(compute_dtype) * w11
+    )
+    return out.astype(out_dtype)
+
+
+def warp_xla(img: Array, flow: Array, padding_mode: str = "border") -> Array:
+    """Pure-XLA gather warp (always exact; slow on TPU — see pallas kernel)."""
+    n, h, w, _ = flow.shape
+    xs = jnp.arange(w, dtype=flow.dtype)
+    ys = jnp.arange(h, dtype=flow.dtype)
+    gx = jnp.broadcast_to(xs[None, None, :], (n, h, w))
+    gy = jnp.broadcast_to(ys[None, :, None], (n, h, w))
+    return bilinear_sample(img, gx + flow[..., 0], gy + flow[..., 1], padding_mode)
 
 
 def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
@@ -98,13 +143,23 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
     Exactly ``rife_arch.py:31-70``: sample at ``(x + flow_x, y + flow_y)``,
     bilinear, align_corners=True + border padding (the normalization of the grid by
     ``(size-1)/2`` cancels, so the semantics reduce to pixel-space offsets).
+
+    On TPU, border-mode warps of reasonably sized images dispatch to the Pallas
+    windowed-gather kernel (~8x faster than the XLA gather lowering); everything
+    else uses the exact XLA path.
     """
-    n, h, w, _ = flow.shape
-    xs = jnp.arange(w, dtype=flow.dtype)
-    ys = jnp.arange(h, dtype=flow.dtype)
-    gx = jnp.broadcast_to(xs[None, None, :], (n, h, w))
-    gy = jnp.broadcast_to(ys[None, :, None], (n, h, w))
-    return bilinear_sample(img, gx + flow[..., 0], gy + flow[..., 1], padding_mode)
+    h, w = img.shape[1], img.shape[2]
+    if (
+        padding_mode == "border"
+        and _backend() == "pallas"
+        and h >= 64
+        and w >= 128
+        and h * w >= 128 * 128
+    ):
+        from .pallas.warp_kernel import warp_pallas
+
+        return warp_pallas(img, flow)
+    return warp_xla(img, flow, padding_mode)
 
 
 def grid_sample(

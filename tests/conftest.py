@@ -3,12 +3,18 @@ tests exercise a real Mesh without TPU hardware. Must run before jax imports."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize registers the axon TPU plugin and pins
+# jax_platforms before any test code runs; force CPU after the fact.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
