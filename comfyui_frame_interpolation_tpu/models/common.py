@@ -238,3 +238,57 @@ def max_pool2d(x: Array, kernel: int, stride: Optional[int] = None) -> Array:
         (1, stride, stride, 1),
         "VALID",
     )
+
+
+def conv3d(
+    x: Array,
+    node: Params,
+    stride=1,
+    padding=0,
+    dilation=1,
+) -> Array:
+    """torch ``nn.Conv3d`` on NDHWC input. ``node['weight']``: (O, I, kd, kh, kw)."""
+    def _triple(v):
+        return (v, v, v) if isinstance(v, int) else tuple(v)
+
+    w = jnp.transpose(node["weight"], (2, 3, 4, 1, 0))  # DHWIO
+    pd, ph, pw = _triple(padding)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=_triple(stride),
+        padding=((pd, pd), (ph, ph), (pw, pw)),
+        rhs_dilation=_triple(dilation),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if "bias" in node and node["bias"] is not None:
+        out = out + node["bias"].astype(x.dtype)
+    return out
+
+
+def conv_transpose3d(x: Array, node: Params, stride, padding) -> Array:
+    """torch ``nn.ConvTranspose3d`` (output_padding=0) on NDHWC.
+    ``node['weight']``: (I, O, kd, kh, kw)."""
+    def _triple(v):
+        return (v, v, v) if isinstance(v, int) else tuple(v)
+
+    w = node["weight"]
+    kd, kh, kw = w.shape[2], w.shape[3], w.shape[4]
+    w = jnp.transpose(w[:, :, ::-1, ::-1, ::-1], (2, 3, 4, 0, 1))  # DHWIO, I=in
+    sd, sh, sw = _triple(stride)
+    pd, ph, pw = _triple(padding)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=(
+            (kd - 1 - pd, kd - 1 - pd),
+            (kh - 1 - ph, kh - 1 - ph),
+            (kw - 1 - pw, kw - 1 - pw),
+        ),
+        lhs_dilation=(sd, sh, sw),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if "bias" in node and node["bias"] is not None:
+        out = out + node["bias"].astype(x.dtype)
+    return out

@@ -8,14 +8,29 @@ Every VFI node follows the reference protocol: classmethod ``INPUT_TYPES()``,
 
 from .util_nodes import FloatToInt, MakeInterpolationStateList
 from .rife_node import RIFE_VFI
+from .vfi_nodes import AMT_VFI, CAIN_VFI, FILM_VFI, FLAVR_VFI, IFRNet_VFI, M2M_VFI, SepconvVFI
 
 NODE_CLASS_MAPPINGS = {
     "RIFE VFI": RIFE_VFI,
+    "FILM VFI": FILM_VFI,
+    "IFRNet VFI": IFRNet_VFI,
+    "CAIN VFI": CAIN_VFI,
+    "M2M VFI": M2M_VFI,
+    "Sepconv VFI": SepconvVFI,
+    "AMT VFI": AMT_VFI,
+    "FLAVR VFI": FLAVR_VFI,
     "Make Interpolation State List": MakeInterpolationStateList,
     "VFI FloatToInt": FloatToInt,
 }
 NODE_DISPLAY_NAME_MAPPINGS = {
     "RIFE VFI": "RIFE VFI (recommend rife47 and rife49)",
+    "FILM VFI": "FILM VFI",
+    "IFRNet VFI": "IFRNet VFI",
+    "CAIN VFI": "CAIN VFI",
+    "M2M VFI": "M2M VFI",
+    "Sepconv VFI": "Sepconv VFI",
+    "AMT VFI": "AMT VFI",
+    "FLAVR VFI": "FLAVR VFI",
     "Make Interpolation State List": "Make Interpolation State List",
     "VFI FloatToInt": "VFI FloatToInt",
 }

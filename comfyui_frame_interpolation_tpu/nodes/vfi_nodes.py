@@ -1,0 +1,375 @@
+"""VFI nodes for the generic-loop model families (reference node files under
+``vfi_models/{film,ifrnet,cain}/__init__.py``)."""
+
+from __future__ import annotations
+
+import typing
+
+import jax.numpy as jnp
+
+from ..core.frames import assert_batch_size, postprocess_frames, preprocess_frames
+from ..core.loop import run_plan
+from ..core.schedule import (
+    InterpolationStateList,
+    plan_bisection,
+    plan_midpoint,
+    plan_timestep,
+)
+from ..models import cain as cain_model
+from ..models import film as film_model
+from ..models import ifrnet as ifrnet_model
+from ..utils.download import get_converted_params
+
+_OPTIONAL = {"optional": {"optional_interpolation_states": ("INTERPOLATION_STATES",)}}
+
+
+def _base_inputs(ckpts, multiplier_min=2, multiplier_max=1000, **extra):
+    req = {
+        "ckpt_name": (ckpts,),
+        "frames": ("IMAGE",),
+        "clear_cache_after_n_frames": ("INT", {"default": 10, "min": 1, "max": 1000}),
+        "multiplier": ("INT", {"default": 2, "min": multiplier_min, "max": multiplier_max}),
+    }
+    req.update(extra)
+    return {"required": req, **_OPTIONAL}
+
+
+class FILM_VFI:
+    """reference ``film/__init__.py:44-113``; timeline-bisection schedule."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return _base_inputs(["film_net_fp32.pt"])
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "FILM")
+        if params is None:
+            params = get_converted_params("film", ckpt_name)
+        key = id(params)
+        if key not in self._cache:
+            self._cache[key] = film_model.make_model_fn(params)
+        model_fn = self._cache[key]
+        plan = plan_bisection(
+            frames.shape[0], multiplier, optional_interpolation_states
+        )
+        out = run_plan(frames, plan, model_fn, batch_size=batch_size)
+        return (postprocess_frames(out),)
+
+
+class IFRNet_VFI:
+    """reference ``ifrnet/__init__.py:11-57``; generic timestep schedule.
+
+    (The reference node swaps timestep/scale_factor positionally into the arch —
+    see ``models/ifrnet.py`` docstring; we pass them correctly.)
+    """
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return _base_inputs(
+            ifrnet_model.CKPT_NAMES,
+            scale_factor=([0.25, 0.5, 1.0, 2.0, 4.0], {"default": 1.0}),
+        )
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        scale_factor: float = 1.0,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "IFRNet")
+        variant = ifrnet_model.variant_for_ckpt(ckpt_name)
+        if params is None:
+            params = get_converted_params("ifrnet", ckpt_name)
+        key = (id(params), variant, scale_factor)
+        if key not in self._cache:
+            self._cache[key] = ifrnet_model.make_model_fn(
+                params, variant, scale_factor=scale_factor
+            )
+        model_fn = self._cache[key]
+        plan = plan_timestep(
+            frames.shape[0], multiplier, optional_interpolation_states
+        )
+        out = run_plan(frames, plan, model_fn, batch_size=batch_size)
+        return (postprocess_frames(out),)
+
+
+class CAIN_VFI:
+    """reference ``cain/__init__.py:12-63``; recursive-midpoint schedule."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return _base_inputs(cain_model.CKPT_NAMES)
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "CAIN")
+        if params is None:
+            params = get_converted_params("cain", ckpt_name)
+        key = id(params)
+        if key not in self._cache:
+            self._cache[key] = cain_model.make_model_fn(params)
+        model_fn = self._cache[key]
+        plan = plan_midpoint(
+            frames.shape[0], multiplier, optional_interpolation_states
+        )
+        out = run_plan(frames, plan, model_fn, batch_size=batch_size)
+        return (postprocess_frames(out),)
+
+
+class M2M_VFI:
+    """reference ``m2m/__init__.py:14-60``; generic timestep schedule."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return _base_inputs(["M2M.pth"])
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        from ..models import m2m as m2m_model
+
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "M2M")
+        if params is None:
+            params = get_converted_params("m2m", ckpt_name)
+        key = id(params)
+        if key not in self._cache:
+            self._cache[key] = m2m_model.make_model_fn(params)
+        plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
+        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        return (postprocess_frames(out),)
+
+
+class SepconvVFI:
+    """reference ``sepconv/__init__.py:13-57``; recursive-midpoint schedule."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return _base_inputs(["sepconv.pth"])
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        from ..models import sepconv as sepconv_model
+
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "Sepconv")
+        if params is None:
+            params = get_converted_params("sepconv", ckpt_name)
+        key = id(params)
+        if key not in self._cache:
+            self._cache[key] = sepconv_model.make_model_fn(params)
+        plan = plan_midpoint(frames.shape[0], multiplier, optional_interpolation_states)
+        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        return (postprocess_frames(out),)
+
+
+class AMT_VFI:
+    """reference ``amt/__init__.py:33-87``; generic timestep schedule with a
+    one-time whole-clip pad to a multiple of 16 (``amt/__init__.py:71-72``)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        from ..models import amt as amt_model
+
+        return _base_inputs(list(amt_model.CKPT_CONFIGS.keys()))
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        import jax.numpy as jnp
+
+        from ..models import amt as amt_model
+
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "AMT")
+        if params is None:
+            params = get_converted_params(
+                "amt",
+                ckpt_name,
+                url=f"https://huggingface.co/lalala125/AMT/resolve/main/{ckpt_name}",
+            )
+        key = (id(params), ckpt_name)
+        if key not in self._cache:
+            self._cache[key] = amt_model.make_model_fn(params, ckpt_name)
+
+        # InputPadder(divisor=16) semantics: centered replicate pad, then unpad
+        n, h, w, c = frames.shape
+        ph = (-h) % 16
+        pw = (-w) % 16
+        top = ph // 2
+        left = pw // 2
+        if ph or pw:
+            frames = jnp.pad(
+                frames,
+                ((0, 0), (top, ph - top), (left, pw - left), (0, 0)),
+                mode="edge",
+            )
+        plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
+        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        if ph or pw:
+            out = out[:, top : top + h, left : left + w, :]
+        return (postprocess_frames(out),)
+
+
+class FLAVR_VFI:
+    """reference ``flavr/__init__.py:28-115``; 4-frame sliding-window 2x schedule
+    with a one-time whole-clip pad to a multiple of 16."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        from ..models import flavr as flavr_model
+
+        return {
+            "required": {
+                "ckpt_name": (flavr_model.CKPT_NAMES,),
+                "frames": ("IMAGE",),
+                "clear_cache_after_n_frames": ("INT", {"default": 10, "min": 1, "max": 1000}),
+                "multiplier": ("INT", {"default": 2, "min": 2, "max": 2}),
+                "duplicate_first_last_frames": ("BOOLEAN", {"default": False}),
+            },
+            **_OPTIONAL,
+        }
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        duplicate_first_last_frames: bool = False,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        import warnings
+
+        from ..core.loop import run_plan_window4
+        from ..core.schedule import plan_window4
+        from ..models import flavr as flavr_model
+
+        if multiplier != 2:
+            warnings.warn(
+                "Currently, FLAVR only supports 2x interpolation. The process "
+                "will continue but please set multiplier=2 afterward"
+            )
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 4, "FLAVR")
+        if params is None:
+            params = get_converted_params("flavr", ckpt_name)
+        key = id(params)
+        if key not in self._cache:
+            self._cache[key] = flavr_model.make_model_fn(params)
+
+        n, h, w, c = frames.shape
+        ph = (-h) % 16
+        pw = (-w) % 16
+        top, left = ph // 2, pw // 2
+        if ph or pw:
+            frames = jnp.pad(
+                frames,
+                ((0, 0), (top, ph - top), (left, pw - left), (0, 0)),
+                mode="edge",
+            )
+        plan = plan_window4(
+            frames.shape[0], duplicate_first_last_frames, optional_interpolation_states
+        )
+        out = run_plan_window4(frames, plan, self._cache[key], batch_size=batch_size)
+        if ph or pw:
+            out = out[:, top : top + h, left : left + w, :]
+        return (postprocess_frames(out),)

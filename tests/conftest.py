@@ -33,8 +33,13 @@ def has_reference() -> bool:
 
 
 def load_reference_module(relpath: str, name: str):
-    """Load a reference arch file directly by path, bypassing package __init__
-    side effects, with the external `comfy` host API stubbed out."""
+    """Load a reference arch file directly by path, bypassing the real package
+    __init__ side effects, with the external `comfy` host API stubbed out.
+
+    A synthetic parent package pointing at the file's directory is registered so
+    that relative imports inside arch files (e.g. cain_arch's ``from .common
+    import *``) resolve without executing the package's node __init__.
+    """
     import torch
 
     if "comfy" not in sys.modules:
@@ -47,8 +52,15 @@ def load_reference_module(relpath: str, name: str):
         sys.modules["comfy"] = comfy
         sys.modules["comfy.model_management"] = mm
     path = os.path.join(REFERENCE_DIR, relpath)
-    spec = importlib.util.spec_from_file_location(name, path)
+    pkg_name = f"refpkg_{os.path.basename(os.path.dirname(path))}"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [os.path.dirname(path)]
+        sys.modules[pkg_name] = pkg
+    full_name = f"{pkg_name}.{name}"
+    spec = importlib.util.spec_from_file_location(full_name, path)
     mod = importlib.util.module_from_spec(spec)
+    sys.modules[full_name] = mod
     sys.modules[name] = mod
     spec.loader.exec_module(mod)
     return mod
