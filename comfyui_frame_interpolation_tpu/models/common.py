@@ -95,16 +95,25 @@ def conv_transpose2d(
     node: Params,
     stride: Union[int, Tuple[int, int]] = 2,
     padding: Union[int, Tuple[int, int]] = 1,
+    groups: int = 1,
 ) -> Array:
-    """torch ``nn.ConvTranspose2d`` (output_padding=0, groups=1) on NHWC.
+    """torch ``nn.ConvTranspose2d`` (output_padding=0) on NHWC.
 
-    ``node['weight']``: (I, O, kh, kw). Implemented as the standard equivalence:
-    a convolution over the stride-dilated input with the spatially flipped kernel
-    and padding ``k - 1 - p`` — exactly torch's gradient-of-conv semantics.
+    ``node['weight']``: (I, O/g, kh, kw). Implemented as the standard equivalence:
+    a (grouped) convolution over the stride-dilated input with the spatially
+    flipped kernel and padding ``k - 1 - p`` — torch's gradient-of-conv semantics.
     """
-    w = node["weight"]  # (I, O, kh, kw)
+    w = node["weight"]  # (I, O/g, kh, kw)
     kh, kw = w.shape[2], w.shape[3]
-    w = jnp.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))  # HWIO with I=in, O=out
+    w = w[:, :, ::-1, ::-1]
+    if groups == 1:
+        w = jnp.transpose(w, (2, 3, 0, 1))  # HWIO with I=in, O=out
+    else:
+        i_total, o_g = w.shape[0], w.shape[1]
+        i_g = i_total // groups
+        w = w.reshape(groups, i_g, o_g, kh, kw)
+        # HWIO for grouped conv: I = in/g, O = g * out/g with group-major O
+        w = jnp.transpose(w, (3, 4, 1, 0, 2)).reshape(kh, kw, i_g, groups * o_g)
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     out = jax.lax.conv_general_dilated(
@@ -114,6 +123,7 @@ def conv_transpose2d(
         padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
         lhs_dilation=(sh, sw),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
     )
     if "bias" in node and node["bias"] is not None:
         out = out + node["bias"].astype(x.dtype)
@@ -289,6 +299,26 @@ def conv_transpose3d(x: Array, node: Params, stride, padding) -> Array:
         lhs_dilation=(sd, sh, sw),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
+    if "bias" in node and node["bias"] is not None:
+        out = out + node["bias"].astype(x.dtype)
+    return out
+
+
+def batch_norm(x: Array, node: Params, eps: float = 1e-5) -> Array:
+    """torch ``nn.BatchNorm2d`` in eval mode (running statistics)."""
+    mean = node["running_mean"].astype(x.dtype)
+    var = node["running_var"].astype(x.dtype)
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    if "weight" in node and node["weight"] is not None:
+        out = out * node["weight"].astype(x.dtype)
+    if "bias" in node and node["bias"] is not None:
+        out = out + node["bias"].astype(x.dtype)
+    return out
+
+
+def linear(x: Array, node: Params) -> Array:
+    """torch ``nn.Linear``: x @ W.T + b."""
+    out = x @ jnp.transpose(node["weight"]).astype(x.dtype)
     if "bias" in node and node["bias"] is not None:
         out = out + node["bias"].astype(x.dtype)
     return out

@@ -8,7 +8,8 @@ Every VFI node follows the reference protocol: classmethod ``INPUT_TYPES()``,
 
 from .util_nodes import FloatToInt, MakeInterpolationStateList
 from .rife_node import RIFE_VFI
-from .vfi_nodes import AMT_VFI, CAIN_VFI, FILM_VFI, FLAVR_VFI, IFRNet_VFI, M2M_VFI, SepconvVFI
+from .vfi_nodes import (AMT_VFI, CAIN_VFI, FILM_VFI, FLAVR_VFI, IFRNet_VFI,
+                        IFUnet_VFI, M2M_VFI, STMFNet_VFI, SepconvVFI)
 
 NODE_CLASS_MAPPINGS = {
     "RIFE VFI": RIFE_VFI,
@@ -19,6 +20,8 @@ NODE_CLASS_MAPPINGS = {
     "Sepconv VFI": SepconvVFI,
     "AMT VFI": AMT_VFI,
     "FLAVR VFI": FLAVR_VFI,
+    "IFUnet VFI": IFUnet_VFI,
+    "STMFNet VFI": STMFNet_VFI,
     "Make Interpolation State List": MakeInterpolationStateList,
     "VFI FloatToInt": FloatToInt,
 }
@@ -31,6 +34,8 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "Sepconv VFI": "Sepconv VFI",
     "AMT VFI": "AMT VFI",
     "FLAVR VFI": "FLAVR VFI",
+    "IFUnet VFI": "IFUnet VFI",
+    "STMFNet VFI": "STMFNet VFI",
     "Make Interpolation State List": "Make Interpolation State List",
     "VFI FloatToInt": "VFI FloatToInt",
 }

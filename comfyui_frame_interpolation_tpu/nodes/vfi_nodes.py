@@ -373,3 +373,108 @@ class FLAVR_VFI:
         if ph or pw:
             out = out[:, top : top + h, left : left + w, :]
         return (postprocess_frames(out),)
+
+
+class IFUnet_VFI:
+    """reference ``ifunet/__init__.py:11-58``; generic timestep schedule."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return _base_inputs(
+            ["IFUNet.pth"],
+            scale_factor=("FLOAT", {"default": 1.0, "min": 0.1, "max": 100, "step": 0.1}),
+            ensemble=("BOOLEAN", {"default": True}),
+        )
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        scale_factor: float = 1.0,
+        ensemble: bool = False,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        from ..models import ifunet as ifunet_model
+
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "IFUnet")
+        if params is None:
+            params = get_converted_params("ifunet", ckpt_name)
+        key = (id(params), scale_factor, ensemble)
+        if key not in self._cache:
+            self._cache[key] = ifunet_model.make_model_fn(
+                params, scale=scale_factor, ensemble=ensemble
+            )
+        plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
+        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        return (postprocess_frames(out),)
+
+
+class STMFNet_VFI:
+    """reference ``stmfnet/__init__.py:13-100``; 4-frame sliding-window 2x."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "ckpt_name": (["stmfnet.pth"],),
+                "frames": ("IMAGE",),
+                "clear_cache_after_n_frames": ("INT", {"default": 10, "min": 1, "max": 1000}),
+                "multiplier": ("INT", {"default": 2, "min": 2, "max": 2}),
+                "duplicate_first_last_frames": ("BOOLEAN", {"default": False}),
+            },
+            **_OPTIONAL,
+        }
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        duplicate_first_last_frames: bool = False,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        import warnings
+
+        from ..core.loop import run_plan_window4
+        from ..core.schedule import plan_window4
+        from ..models import stmfnet as stmfnet_model
+
+        if multiplier != 2:
+            warnings.warn(
+                "Currently, ST-MFNet only supports 2x interpolation. The process "
+                "will continue but please set multiplier=2 afterward"
+            )
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 4, "ST-MFNet")
+        if params is None:
+            params = get_converted_params("stmfnet", ckpt_name)
+        key = id(params)
+        if key not in self._cache:
+            self._cache[key] = stmfnet_model.make_model_fn(params)
+        plan = plan_window4(
+            frames.shape[0], duplicate_first_last_frames, optional_interpolation_states
+        )
+        out = run_plan_window4(frames, plan, self._cache[key], batch_size=batch_size)
+        return (postprocess_frames(out),)
