@@ -9,7 +9,8 @@ Every VFI node follows the reference protocol: classmethod ``INPUT_TYPES()``,
 from .util_nodes import FloatToInt, MakeInterpolationStateList
 from .rife_node import RIFE_VFI
 from .vfi_nodes import (AMT_VFI, CAIN_VFI, FILM_VFI, FLAVR_VFI, IFRNet_VFI,
-                        IFUnet_VFI, M2M_VFI, STMFNet_VFI, SepconvVFI)
+                        GMFSS_Fortuna_VFI, IFUnet_VFI, M2M_VFI,
+                        STMFNet_VFI, SepconvVFI)
 
 NODE_CLASS_MAPPINGS = {
     "RIFE VFI": RIFE_VFI,
@@ -22,6 +23,7 @@ NODE_CLASS_MAPPINGS = {
     "FLAVR VFI": FLAVR_VFI,
     "IFUnet VFI": IFUnet_VFI,
     "STMFNet VFI": STMFNet_VFI,
+    "GMFSS Fortuna VFI": GMFSS_Fortuna_VFI,
     "Make Interpolation State List": MakeInterpolationStateList,
     "VFI FloatToInt": FloatToInt,
 }
@@ -36,6 +38,7 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "FLAVR VFI": "FLAVR VFI",
     "IFUnet VFI": "IFUnet VFI",
     "STMFNet VFI": "STMFNet VFI",
+    "GMFSS Fortuna VFI": "GMFSS Fortuna VFI",
     "Make Interpolation State List": "Make Interpolation State List",
     "VFI FloatToInt": "VFI FloatToInt",
 }

@@ -478,3 +478,75 @@ class STMFNet_VFI:
         )
         out = run_plan_window4(frames, plan, self._cache[key], batch_size=batch_size)
         return (postprocess_frames(out),)
+
+
+class GMFSS_Fortuna_VFI:
+    """reference ``gmfss_fortuna/__init__.py:79-143``; generic timestep schedule.
+
+    Weights are the multi-file .pkl sets (plus rife46 for the union variant);
+    conversion assembles them into one tree keyed flownet/metricnet/feat_ext/
+    fusionnet[/ifnet] (see ``models/gmfss.py``).
+    """
+
+    CKPTS_PATH_CONFIG = {
+        "GMFSS_fortuna_union": {
+            "ifnet": ("rife", "rife46.pth"),
+            "flownet": ("gmfss_fortuna", "GMFSS_fortuna_flownet.pkl"),
+            "metricnet": ("gmfss_fortuna", "GMFSS_fortuna_union_metric.pkl"),
+            "feat_ext": ("gmfss_fortuna", "GMFSS_fortuna_union_feat.pkl"),
+            "fusionnet": ("gmfss_fortuna", "GMFSS_fortuna_union_fusionnet.pkl"),
+        },
+        "GMFSS_fortuna": {
+            "flownet": ("gmfss_fortuna", "GMFSS_fortuna_flownet.pkl"),
+            "metricnet": ("gmfss_fortuna", "GMFSS_fortuna_metric.pkl"),
+            "feat_ext": ("gmfss_fortuna", "GMFSS_fortuna_feat.pkl"),
+            "fusionnet": ("gmfss_fortuna", "GMFSS_fortuna_fusionnet.pkl"),
+        },
+    }
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return _base_inputs(list(cls.CKPTS_PATH_CONFIG.keys()))
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def _load_params(self, ckpt_name):
+        from ..utils.ckpt import load_torch_state_dict, to_jax_tree
+
+        from ..utils.download import load_file_from_github_release
+
+        cfg = self.CKPTS_PATH_CONFIG[ckpt_name]
+        tree = {}
+        for key, (model_type, fname) in cfg.items():
+            path = load_file_from_github_release(model_type, fname)
+            tree[key] = load_torch_state_dict(path)
+        return to_jax_tree(tree)
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        from ..models import gmfss as gmfss_model
+
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "GMFSS Fortuna")
+        union = "union" in ckpt_name
+        if params is None:
+            params = self._load_params(ckpt_name)
+        key = (id(params), union)
+        if key not in self._cache:
+            self._cache[key] = gmfss_model.make_model_fn(params, union=union)
+        plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
+        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        return (postprocess_frames(out),)
