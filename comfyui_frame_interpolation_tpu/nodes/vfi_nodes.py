@@ -550,3 +550,80 @@ class GMFSS_Fortuna_VFI:
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
         out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
         return (postprocess_frames(out),)
+
+
+class ATM_VFI:
+    """reference ``atm/__init__.py:83-182``; bisection schedule, 2x only,
+    per-call centered 64-pad (handled inside the model fn)."""
+
+    GLOBAL_MOTION_SETTINGS = {
+        "On": [True, False],
+        "On with Ensemble (slowest)": [True, True],
+        "Off (fastest)": [False, False],
+    }
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        from ..models import atm as atm_model
+
+        return {
+            "required": {
+                "ckpt_name": (atm_model.CKPT_NAMES,),
+                "frames": ("IMAGE",),
+                "clear_cache_after_n_frames": ("INT", {"default": 10, "min": 1, "max": 1000}),
+                "multiplier": ("INT", {"default": 2, "min": 2, "max": 2}),
+                "global_motion": (list(cls.GLOBAL_MOTION_SETTINGS.keys()),),
+            },
+            **_OPTIONAL,
+        }
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        global_motion: str = "On",
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        from ..models import atm as atm_model
+
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "ATM")
+        variant = atm_model.variant_for_ckpt(ckpt_name)
+        gm, gm_ens = self.GLOBAL_MOTION_SETTINGS[global_motion]
+        if params is None:
+            # the reference strips stale attn_mask/HW buffers (atm/__init__.py:
+            # 133-141); our masks are computed per shape so just drop them
+            params = get_converted_params(
+                "atm",
+                ckpt_name,
+                convert=lambda tree: _strip_keys(tree, ("attn_mask", "HW")),
+            )
+        key = (id(params), variant, gm, gm_ens)
+        if key not in self._cache:
+            self._cache[key] = atm_model.make_model_fn(
+                params, variant=variant, global_motion=gm,
+                ensemble_global_motion=gm_ens,
+            )
+        plan = plan_bisection(frames.shape[0], multiplier, optional_interpolation_states)
+        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        return (postprocess_frames(out),)
+
+
+def _strip_keys(tree: dict, names) -> dict:
+    out = {}
+    for k, v in tree.items():
+        if k in names:
+            continue
+        out[k] = _strip_keys(v, names) if isinstance(v, dict) else v
+    return out
