@@ -322,3 +322,73 @@ def linear(x: Array, node: Params) -> Array:
     if "bias" in node and node["bias"] is not None:
         out = out + node["bias"].astype(x.dtype)
     return out
+
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """torch/PIL cubic convolution kernel (Keys, a=-0.75)."""
+    at = np.abs(t)
+    return np.where(
+        at <= 1.0,
+        ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0,
+        np.where(at < 2.0, (((at - 5.0) * at + 8.0) * at - 4.0) * a, 0.0),
+    )
+
+
+def _bicubic_axis_matrix(in_size: int, out_size: int, antialias: bool) -> np.ndarray:
+    """[out, in] weight matrix for one axis of torch ``F.interpolate`` bicubic
+    (align_corners=False). ``antialias=True`` uses the PIL-style scaled kernel
+    with weight normalization on downscale; upscale is the plain 4-tap kernel."""
+    scale = in_size / out_size
+    w = np.zeros((out_size, in_size), np.float64)
+    if antialias and scale > 1.0:
+        # torch's antialiased path uses the PIL kernel (a=-0.5), the plain
+        # path the classic torch kernel (a=-0.75)
+        support = 2.0 * scale
+        for i in range(out_size):
+            center = (i + 0.5) * scale
+            xmin = max(int(np.floor(center - support + 0.5)), 0)
+            xmax = min(int(np.floor(center + support + 0.5)), in_size)
+            js = np.arange(xmin, xmax)
+            ws = _cubic_kernel((js - center + 0.5) / scale, a=-0.5)
+            ws = ws / ws.sum()
+            w[i, xmin:xmax] = ws
+    elif antialias:
+        # antialias upscale: PIL kernel (a=-0.5), unit support, normalized
+        for i in range(out_size):
+            center = (i + 0.5) * scale
+            xmin = max(int(np.floor(center - 2.0 + 0.5)), 0)
+            xmax = min(int(np.floor(center + 2.0 + 0.5)), in_size)
+            js = np.arange(xmin, xmax)
+            ws = _cubic_kernel(js - center + 0.5, a=-0.5)
+            ws = ws / ws.sum()
+            w[i, xmin:xmax] = ws
+    else:
+        for i in range(out_size):
+            real = (i + 0.5) * scale - 0.5
+            base = int(np.floor(real))
+            t = real - base
+            taps = np.array([base - 1, base, base + 1, base + 2])
+            ws = _cubic_kernel(np.array([1.0 + t, t, 1.0 - t, 2.0 - t]))
+            taps = np.clip(taps, 0, in_size - 1)
+            for j, wt in zip(taps, ws):
+                w[i, j] += wt
+    return w.astype(np.float32)
+
+
+def resize_bicubic(
+    x: Array, out_hw: Tuple[int, int], antialias: bool = False
+) -> Array:
+    """torch ``F.interpolate(mode="bicubic", align_corners=False)`` with or
+    without antialias, as two per-axis matmuls (MXU-native)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+    dt = x.dtype
+    if oh != h:
+        m = jnp.asarray(_bicubic_axis_matrix(h, oh, antialias), dt)
+        x = jnp.einsum("oh,nhwc->nowc", m, x)
+    if ow != w:
+        m = jnp.asarray(_bicubic_axis_matrix(w, ow, antialias), dt)
+        x = jnp.einsum("ow,nhwc->nhoc", m, x)
+    return x

@@ -9,7 +9,7 @@ Every VFI node follows the reference protocol: classmethod ``INPUT_TYPES()``,
 from .util_nodes import FloatToInt, MakeInterpolationStateList
 from .rife_node import RIFE_VFI
 from .vfi_nodes import (AMT_VFI, ATM_VFI, CAIN_VFI, FILM_VFI, FLAVR_VFI, IFRNet_VFI,
-                        GMFSS_Fortuna_VFI, IFUnet_VFI, M2M_VFI,
+                        GMFSS_Fortuna_VFI, IFUnet_VFI, M2M_VFI, MOMO_VFI,
                         STMFNet_VFI, SepconvVFI)
 
 NODE_CLASS_MAPPINGS = {
@@ -25,6 +25,7 @@ NODE_CLASS_MAPPINGS = {
     "STMFNet VFI": STMFNet_VFI,
     "GMFSS Fortuna VFI": GMFSS_Fortuna_VFI,
     "ATM VFI": ATM_VFI,
+    "MOMO VFI": MOMO_VFI,
     "Make Interpolation State List": MakeInterpolationStateList,
     "VFI FloatToInt": FloatToInt,
 }
@@ -40,7 +41,8 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "IFUnet VFI": "IFUnet VFI",
     "STMFNet VFI": "STMFNet VFI",
     "GMFSS Fortuna VFI": "GMFSS Fortuna VFI",
-    "ATM VFI": ATM_VFI and "ATM VFI",
+    "ATM VFI": "ATM VFI",
+    "MOMO VFI": "MOMO VFI",
     "Make Interpolation State List": "Make Interpolation State List",
     "VFI FloatToInt": "VFI FloatToInt",
 }

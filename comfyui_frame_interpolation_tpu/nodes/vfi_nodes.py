@@ -627,3 +627,60 @@ def _strip_keys(tree: dict, names) -> dict:
             continue
         out[k] = _strip_keys(v, names) if isinstance(v, dict) else v
     return out
+
+
+class MOMO_VFI:
+    """reference ``momo/__init__.py:77-165``; bisection schedule, 2x only.
+
+    The DDPM loop's noise comes from an explicit PRNG seed (the reference uses
+    torch's global RNG and is not run-to-run deterministic).
+    """
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        from ..models import momo as momo_model
+
+        return {
+            "required": {
+                "ckpt_name": (momo_model.CKPT_NAMES,),
+                "frames": ("IMAGE",),
+                "clear_cache_after_n_frames": ("INT", {"default": 10, "min": 1, "max": 1000}),
+                "multiplier": ("INT", {"default": 2, "min": 2, "max": 2}),
+                "num_inference_steps": ("INT", {"default": 8, "min": 2, "max": 20}),
+            },
+            **_OPTIONAL,
+        }
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        num_inference_steps: int = 8,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        seed: int = 0,
+        **kwargs,
+    ):
+        from ..models import momo as momo_model
+
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "MoMo")
+        if params is None:
+            params = get_converted_params("momo", ckpt_name)
+        key = (id(params), ckpt_name, num_inference_steps, seed)
+        if key not in self._cache:
+            self._cache[key] = momo_model.make_model_fn(
+                params, ckpt_name, num_inference_steps=num_inference_steps, seed=seed
+            )
+        plan = plan_bisection(frames.shape[0], multiplier, optional_interpolation_states)
+        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        return (postprocess_frames(out),)

