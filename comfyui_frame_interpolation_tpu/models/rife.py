@@ -161,6 +161,15 @@ def _swap_flow(f: Array) -> Array:
     return jnp.concatenate([f[..., 2:4], f[..., :2]], axis=-1)
 
 
+def _warp_pair(img: Array, feat: Array, fl2: Array) -> Tuple[Array, Array]:
+    """Warp an image and its encoder features with one flow in a single kernel
+    call. Bilinear warping is per-channel independent, so concatenating the
+    planes is exact; sharing one call amortises the per-tile index math and
+    window DMA of the Pallas kernel across all 7 planes."""
+    both = warp(jnp.concatenate([img[..., :3], feat], axis=-1), fl2)
+    return both[..., :3], both[..., 3:]
+
+
 def apply(
     params: Params,
     img0: Array,
@@ -221,11 +230,18 @@ def apply(
             flow = (flow + _swap_flow(fr)) / 2
             mask = (mask + (-mr)) / 2
 
-    warped0 = warp(img0, flow[..., :2])
-    warped1 = warp(img1, flow[..., 2:4])
+    if arch_ver in ("4.0", "4.2", "4.3", "4.5", "4.6"):
+        warped0 = warp(img0, flow[..., :2])
+        warped1 = warp(img1, flow[..., 2:4])
+        wf0c = wf1c = None
+    else:
+        # stage 1's feature warp uses this same flow — fuse it into the image
+        # warp (exact: warping is per-channel independent).
+        warped0, wf0c = _warp_pair(img0, f0, flow[..., :2])
+        warped1, wf1c = _warp_pair(img1, f1, flow[..., 2:4])
 
     # ---- stages 1..N -------------------------------------------------------
-    def later_stage(i, scales, flow, mask, warped0, warped1):
+    def later_stage(i, scales, flow, mask, warped0, warped1, wf0c, wf1c):
         if arch_ver in ("4.0", "4.2", "4.3", "4.5", "4.6"):
             x = jnp.concatenate(
                 [warped0[..., :3], warped1[..., :3], tmap, mask], -1
@@ -242,39 +258,45 @@ def apply(
                 m0 = (m0 + (-mr)) / 2
             new_flow = flow + fd
             new_mask = mask + m0
-        else:  # 4.7/4.10/4.17
-            wf0 = warp(f0, flow[..., :2])
-            wf1 = warp(f1, flow[..., 2:4])
-            x = jnp.concatenate(
-                [warped0[..., :3], warped1[..., :3], wf0, wf1, tmap, mask], -1
+            new_w0 = warp(img0, new_flow[..., :2])
+            new_w1 = warp(img1, new_flow[..., 2:4])
+            return new_flow, new_mask, new_w0, new_w1, None, None
+        # 4.7/4.10/4.17: wf0c/wf1c are warp(f{0,1}, flow) computed fused with
+        # the previous stage's image warps (same flow).
+        x = jnp.concatenate(
+            [warped0[..., :3], warped1[..., :3], wf0c, wf1c, tmap, mask], -1
+        )
+        fd, m0, _ = _if_block(blocks[i], x, flow, scales[i], arch_ver)
+        # reference quirk (rife_arch.py:645,672-692): flow is updated with the
+        # un-averaged fd BEFORE the ensemble pass, which then warps/receives
+        # the updated flow; the averaged fd is discarded — only the mask is
+        # ensemble-averaged.
+        new_flow = flow + fd
+        want_feats = ensemble or i < 3
+        if want_feats:
+            new_w0, wf0n = _warp_pair(img0, f0, new_flow[..., :2])
+            new_w1, wf1n = _warp_pair(img1, f1, new_flow[..., 2:4])
+        else:  # last stage, no ensemble: features are never consumed again
+            new_w0 = warp(img0, new_flow[..., :2])
+            new_w1 = warp(img1, new_flow[..., 2:4])
+            wf0n = wf1n = None
+        if ensemble:
+            xr = jnp.concatenate(
+                [warped1[..., :3], warped0[..., :3], wf1n, wf0n, 1 - tmap, -mask],
+                -1,
             )
-            fd, m0, _ = _if_block(blocks[i], x, flow, scales[i], arch_ver)
-            # reference quirk (rife_arch.py:645,672-692): flow is updated with the
-            # un-averaged fd BEFORE the ensemble pass, which then warps/receives
-            # the updated flow; the averaged fd is discarded — only the mask is
-            # ensemble-averaged.
-            new_flow = flow + fd
-            if ensemble:
-                wf0n = warp(f0, new_flow[..., :2])
-                wf1n = warp(f1, new_flow[..., 2:4])
-                xr = jnp.concatenate(
-                    [warped1[..., :3], warped0[..., :3], wf1n, wf0n, 1 - tmap, -mask],
-                    -1,
-                )
-                fr, mr, _ = _if_block(
-                    blocks[i], xr, _swap_flow(new_flow), scales[i], arch_ver
-                )
-                new_mask = (m0 + (-mr)) / 2
-            else:
-                new_mask = m0
-        new_w0 = warp(img0, new_flow[..., :2])
-        new_w1 = warp(img1, new_flow[..., 2:4])
-        return new_flow, new_mask, new_w0, new_w1
+            fr, mr, _ = _if_block(
+                blocks[i], xr, _swap_flow(new_flow), scales[i], arch_ver
+            )
+            new_mask = (m0 + (-mr)) / 2
+        else:
+            new_mask = m0
+        return new_flow, new_mask, new_w0, new_w1, wf0n, wf1n
 
-    def run_tail(scales, flow, mask, warped0, warped1, start):
+    def run_tail(scales, flow, mask, warped0, warped1, start, wf0c, wf1c):
         for i in range(start, 4):
-            flow, mask, warped0, warped1 = later_stage(
-                i, scales, flow, mask, warped0, warped1
+            flow, mask, warped0, warped1, wf0c, wf1c = later_stage(
+                i, scales, flow, mask, warped0, warped1, wf0c, wf1c
             )
         return flow, mask, warped0, warped1
 
@@ -304,7 +326,7 @@ def apply(
             nm = mk + m0
             nw0 = warp(img0, nf[..., :2])
             nw1 = warp(img1, nf[..., 2:4])
-            return run_tail(scales, nf, nm, nw0, nw1, 2)
+            return run_tail(scales, nf, nm, nw0, nw1, 2, None, None)
 
         def normal(_):
             return finish_stage1(
@@ -324,7 +346,7 @@ def apply(
         flow, mask, warped0, warped1 = jax.lax.cond(big, rescued, normal, None)
     else:
         flow, mask, warped0, warped1 = run_tail(
-            scale_list, flow, mask, warped0, warped1, 1
+            scale_list, flow, mask, warped0, warped1, 1, wf0c, wf1c
         )
 
     raw_mask = mask  # the UNet refine receives the pre-sigmoid mask: the
@@ -350,19 +372,23 @@ def _forward_426(blocks, img0, img1, f0, f1, tmap, scale_list, h, w) -> Array:
     """4.26 path (rife_arch.py:512-587,708-711): 5 blocks, feat threading."""
     x0 = jnp.concatenate([img0[..., :3], img1[..., :3], f0, f1, tmap], -1)
     flow, mask, feat = _if_block(blocks[0], x0, None, scale_list[0], "4.26")
-    warped0 = warp(img0, flow[..., :2])
-    warped1 = warp(img1, flow[..., 2:4])
+    # stage i's feature warp uses the same flow as stage i-1's image warp —
+    # fuse them into one 7-plane kernel call (exact; see _warp_pair).
+    warped0, wf0 = _warp_pair(img0, f0, flow[..., :2])
+    warped1, wf1 = _warp_pair(img1, f1, flow[..., 2:4])
     for i in range(1, 5):
-        wf0 = warp(f0, flow[..., :2])
-        wf1 = warp(f1, flow[..., 2:4])
         x = jnp.concatenate(
             [warped0[..., :3], warped1[..., :3], wf0, wf1, tmap, mask, feat], -1
         )
         fd, m0, feat = _if_block(blocks[i], x, flow, scale_list[i], "4.26")
         flow = flow + fd
         mask = m0
-        warped0 = warp(img0, flow[..., :2])
-        warped1 = warp(img1, flow[..., 2:4])
+        if i < 4:
+            warped0, wf0 = _warp_pair(img0, f0, flow[..., :2])
+            warped1, wf1 = _warp_pair(img1, f1, flow[..., 2:4])
+        else:
+            warped0 = warp(img0, flow[..., :2])
+            warped1 = warp(img1, flow[..., 2:4])
     final_mask = jax.nn.sigmoid(mask)
     merged = warped0 * final_mask + warped1 * (1 - final_mask)
     return merged[:, :h, :w, :]

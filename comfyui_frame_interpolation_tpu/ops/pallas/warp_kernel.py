@@ -217,3 +217,190 @@ def warp_pallas(
     )
     out = out.reshape(b, c, img.shape[1], img.shape[2]).transpose(0, 2, 3, 1)
     return out[:, :h, :w, :]
+
+
+# ---------------------------------------------------------------------------
+# v2: per-image grid, in-kernel channel loop, scalar-prefetched window bases,
+# double-buffered window DMA (hides the per-tile DMA latency that floors v1)
+# ---------------------------------------------------------------------------
+
+
+def _warp_kernel_v2(
+    by_ref, bx_ref,  # scalar-prefetched window bases [T]
+    fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
+    *, h: int, w: int, win_h: int, win_w: int, c: int, grid_hw: Tuple[int, int]
+):
+    gh, gw = grid_hw
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    wi = pl.program_id(2)
+    t = (bi * gh + hi) * gw + wi
+    n_tiles = pl.num_programs(0) * gh * gw
+
+    def start_dma(tile_idx, slot):
+        b_k = tile_idx // (gh * gw)
+        by = pl.multiple_of(by_ref[tile_idx], TILE_H)
+        bx = pl.multiple_of(bx_ref[tile_idx], TILE_W)
+        return pltpu.make_async_copy(
+            img_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        start_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        start_dma(t + 1, (t + 1) % 2).start()
+
+    fx = fx_ref[0].astype(jnp.float32)
+    fy = fy_ref[0].astype(jnp.float32)
+    ys = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + hi * TILE_H
+    ).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + wi * TILE_W
+    ).astype(jnp.float32)
+    sx = jnp.clip(xs + fx, 0.0, w - 1.0)
+    sy = jnp.clip(ys + fy, 0.0, h - 1.0)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx1 = sx - x0
+    wy1 = sy - y0
+    wx0 = 1.0 - wx1
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    by = pl.multiple_of(by_ref[t], TILE_H)
+    bx = pl.multiple_of(bx_ref[t], TILE_W)
+    ly0 = jnp.clip(y0i - by, 0, win_h - 1)
+    ly1 = jnp.clip(y0i + 1 - by, 0, win_h - 1)
+    lx0 = jnp.clip(x0i - bx, 0, win_w - 1)
+    lx1 = jnp.clip(x0i + 1 - bx, 0, win_w - 1)
+
+    start_dma(t, t % 2).wait()
+    slot = t % 2
+    n_chunks = win_w // TILE_W
+
+    # lx0/lx1 are row-invariant: hoist each tap's per-chunk local index and
+    # in-range mask to tile level instead of recomputing them for every
+    # (row, channel) — the inner loop is then just gather+select+fma.
+    tap_meta = []
+    for lx in (lx0, lx1):
+        metas = []
+        for ci in range(n_chunks):
+            base = ci * TILE_W
+            in_chunk = (lx >= base) & (lx < base + TILE_W)
+            local = jnp.clip(lx - base, 0, TILE_W - 1)
+            metas.append((local, in_chunk))
+        tap_meta.append(metas)
+
+    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
+    for r in range(win_h):
+        wrow = jnp.where(ly0 == r, 1.0 - wy1, 0.0) + jnp.where(ly1 == r, wy1, 0.0)
+        wr0 = wrow * wx0
+        wr1 = wrow * wx1
+        for ch in range(c):
+            chunks = [
+                jnp.broadcast_to(
+                    win_ref[slot, ch, r : r + 1, ci * TILE_W : (ci + 1) * TILE_W],
+                    (TILE_H, TILE_W),
+                ).astype(jnp.float32)
+                for ci in range(n_chunks)
+            ]
+            vals = []
+            for metas in tap_meta:
+                v = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                for ci, (local, in_chunk) in enumerate(metas):
+                    g = jnp.take_along_axis(chunks[ci], local, axis=1)
+                    v = jnp.where(in_chunk, g, v)
+                vals.append(v)
+            accs[ch] = accs[ch] + wr0 * vals[0] + wr1 * vals[1]
+
+    for ch in range(c):
+        out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("win_h", "win_w"))
+def warp_pallas_planes_v2(
+    planes: Array,  # [B, C, H, W]
+    fx: Array,
+    fy: Array,
+    win_h: int = DEF_WIN_H,
+    win_w: int = DEF_WIN_W,
+) -> Array:
+    b, c, h, w = planes.shape
+    assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
+    win_h = min(win_h, h)
+    win_w = min(win_w, w)
+    gh, gw = h // TILE_H, w // TILE_W
+
+    # per-tile aligned window bases, computed as a cheap XLA reduction
+    y0 = jnp.floor(jnp.clip(
+        jnp.arange(h, dtype=fy.dtype)[None, :, None] + fy, 0.0, h - 1.0
+    )).astype(jnp.int32)
+    x0 = jnp.floor(jnp.clip(
+        jnp.arange(w, dtype=fx.dtype)[None, None, :] + fx, 0.0, w - 1.0
+    )).astype(jnp.int32)
+    by = jnp.min(y0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
+    bx = jnp.min(x0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
+    by = jnp.clip((by // TILE_H) * TILE_H, 0, max(h - win_h, 0)).reshape(-1)
+    bx = jnp.clip((bx // TILE_W) * TILE_W, 0, max(w - win_w, 0)).reshape(-1)
+
+    kernel = functools.partial(
+        _warp_kernel_v2, h=h, w=w, win_h=win_h, win_w=win_w, c=c, grid_hw=(gh, gw)
+    )
+    flow_spec = pl.BlockSpec(
+        (1, TILE_H, TILE_W), lambda bi, hi, wi, *_: (bi, hi, wi),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, gh, gw),
+        in_specs=[
+            flow_spec,
+            flow_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, TILE_H, TILE_W), lambda bi, hi, wi, *_: (bi, 0, hi, wi),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, win_h, win_w), planes.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), planes.dtype),
+    )(by, bx, fx, fy, planes)
+
+
+def warp_pallas_v2(
+    img: Array, flow: Array, win_h: int = DEF_WIN_H, win_w: int = DEF_WIN_W
+) -> Array:
+    """NHWC warp (border) via the double-buffered per-image kernel."""
+    b, h, w, c = img.shape
+    ph = -h % TILE_H
+    pw = -w % TILE_W
+    if ph or pw or w < TILE_W:
+        pw = max(pw, TILE_W - w)
+        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    planes = img.transpose(0, 3, 1, 2)
+    out = warp_pallas_planes_v2(
+        planes, flow[..., 0], flow[..., 1], win_h=win_h, win_w=win_w
+    )
+    out = out.transpose(0, 2, 3, 1)
+    return out[:, :h, :w, :]
+
+
+# Note: a channel-packed bf16 variant (two bf16 channels per int32 lane, one
+# crossbar gathering both) was measured at 11.1-11.2 ms/1080p-warp vs
+# 9.2-10.9 ms for the plain kernel fed bf16 windows: at bf16 the kernel is
+# bandwidth/ALU-bound, not crossbar-bound, so the packing's unpack ALU cost
+# exceeded the crossbar savings and the variant was dropped.

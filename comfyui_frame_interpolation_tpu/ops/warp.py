@@ -156,9 +156,9 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
         and w >= 128
         and h * w >= 128 * 128
     ):
-        from .pallas.warp_kernel import warp_pallas
+        from .pallas.warp_kernel import warp_pallas_v2
 
-        return warp_pallas(img, flow)
+        return warp_pallas_v2(img, flow)
     return warp_xla(img, flow, padding_mode)
 
 
