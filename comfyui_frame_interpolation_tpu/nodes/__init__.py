@@ -8,7 +8,7 @@ Every VFI node follows the reference protocol: classmethod ``INPUT_TYPES()``,
 
 from .util_nodes import FloatToInt, MakeInterpolationStateList
 from .rife_node import RIFE_VFI
-from .vfi_nodes import (AMT_VFI, ATM_VFI, CAIN_VFI, FILM_VFI, FLAVR_VFI, IFRNet_VFI,
+from .vfi_nodes import (AMT_VFI, ATM_VFI, CAIN_VFI, EISAI_VFI, FILM_VFI, FLAVR_VFI, IFRNet_VFI,
                         GMFSS_Fortuna_VFI, IFUnet_VFI, M2M_VFI, MOMO_VFI,
                         STMFNet_VFI, SepconvVFI)
 
@@ -26,6 +26,7 @@ NODE_CLASS_MAPPINGS = {
     "GMFSS Fortuna VFI": GMFSS_Fortuna_VFI,
     "ATM VFI": ATM_VFI,
     "MOMO VFI": MOMO_VFI,
+    "EISAI VFI": EISAI_VFI,
     "Make Interpolation State List": MakeInterpolationStateList,
     "VFI FloatToInt": FloatToInt,
 }
@@ -43,6 +44,7 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "GMFSS Fortuna VFI": "GMFSS Fortuna VFI",
     "ATM VFI": "ATM VFI",
     "MOMO VFI": "MOMO VFI",
+    "EISAI VFI": "EISAI VFI",
     "Make Interpolation State List": "Make Interpolation State List",
     "VFI FloatToInt": "VFI FloatToInt",
 }

@@ -684,3 +684,54 @@ class MOMO_VFI:
         plan = plan_bisection(frames.shape[0], multiplier, optional_interpolation_states)
         out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
         return (postprocess_frames(out),)
+
+class EISAI_VFI:
+    """reference ``eisai/__init__.py:42-84``; generic timestep schedule.
+
+    EISAI loads three checkpoints (``eisai_ssl.pt``, ``eisai_dtm.pt`` and the
+    RFR flow weights from ``eisai_anime_interp_full.ckpt`` under the
+    ``module.flownet.`` prefix); the assembled param tree has the keys
+    ``{"raft", "ssl", "dtm"}`` (see ``models/eisai.py``)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return _base_inputs(["eisai"])
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        clear_cache_after_n_frames: int = 10,
+        multiplier=2,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        batch_size: int = 1,
+        **kwargs,
+    ):
+        from ..models import eisai as eisai_model
+
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "EISAI")
+        if params is None:
+            params = {
+                "ssl": get_converted_params("eisai", "eisai_ssl.pt"),
+                "dtm": get_converted_params("eisai", "eisai_dtm.pt"),
+                "raft": get_converted_params(
+                    "eisai",
+                    "eisai_anime_interp_full.ckpt",
+                    convert=lambda sd: sd.get("module", {})
+                    .get("flownet", sd.get("flownet", sd)),
+                ),
+            }
+        key = (id(params.get("ssl")),)
+        if key not in self._cache:
+            self._cache[key] = eisai_model.make_model_fn(params)
+        plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
+        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        return (postprocess_frames(out),)

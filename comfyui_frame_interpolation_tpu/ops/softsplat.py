@@ -119,6 +119,13 @@ _LEGACY_MODES = {
     "average": "avg",
     "linear": "linear",
     "softmax": "soft",
+    # short aliases: eisai's flow_forewarp (eisai_arch.py:1003-1056) passes
+    # these after Fannovel16's renaming; the reference FunctionSoftsplat
+    # still asserts the long names, so that path crashes upstream — we accept
+    # both and implement the intended semantics.
+    "sum": "sum",
+    "avg": "avg",
+    "soft": "soft",
 }
 
 

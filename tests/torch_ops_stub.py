@@ -143,6 +143,10 @@ def FunctionCorrelation_fn(tenFirst, tenSecond):
 
 
 def FunctionSoftsplat(tenInput, tenFlow, tenMetric, strType):
+    # accept eisai's short names (reference asserts long names only — a bug)
+    strType = {"sum": "summation", "avg": "average", "soft": "softmax"}.get(
+        strType, strType
+    )
     assert strType in ["summation", "average", "linear", "softmax"]
     if strType == "average":
         tenInput = torch.cat([tenInput, torch.ones_like(tenInput[:, :1])], 1)
