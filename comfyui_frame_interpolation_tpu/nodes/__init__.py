@@ -10,7 +10,7 @@ from .util_nodes import FloatToInt, MakeInterpolationStateList
 from .rife_node import RIFE_VFI
 from .vfi_nodes import (AMT_VFI, ATM_VFI, CAIN_VFI, EISAI_VFI, FILM_VFI, FLAVR_VFI, IFRNet_VFI,
                         GMFSS_Fortuna_VFI, IFUnet_VFI, M2M_VFI, MOMO_VFI,
-                        STMFNet_VFI, SepconvVFI)
+                        STMFNet_VFI, SepconvVFI, XVFI_VFI)
 
 NODE_CLASS_MAPPINGS = {
     "RIFE VFI": RIFE_VFI,
@@ -27,6 +27,7 @@ NODE_CLASS_MAPPINGS = {
     "ATM VFI": ATM_VFI,
     "MOMO VFI": MOMO_VFI,
     "EISAI VFI": EISAI_VFI,
+    "XVFI VFI": XVFI_VFI,
     "Make Interpolation State List": MakeInterpolationStateList,
     "VFI FloatToInt": FloatToInt,
 }
@@ -45,6 +46,7 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "ATM VFI": "ATM VFI",
     "MOMO VFI": "MOMO VFI",
     "EISAI VFI": "EISAI VFI",
+    "XVFI VFI": "XVFI VFI",
     "Make Interpolation State List": "Make Interpolation State List",
     "VFI FloatToInt": "VFI FloatToInt",
 }

@@ -735,3 +735,67 @@ class EISAI_VFI:
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
         out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
         return (postprocess_frames(out),)
+
+class XVFI_VFI:
+    """reference ``xvfi/__init__.py:49-115``; per-pair timestep schedule.
+
+    Reference bugs fixed here (documented divergences):
+    - the reference iterates ``optional_interpolation_states`` directly, but
+      ``InterpolationStateList`` is not iterable → upstream crashes whenever
+      states are supplied; we apply the standard skip semantics instead.
+    - the reference assembles output frames by *string*-sorting dict keys
+      ("10" < "2"), scrambling the frame order for clips with >10 frames; we
+      emit frames in true temporal order.
+    The reference also spells the input "multipler"; both spellings are
+    accepted (INPUT_TYPES keeps the reference spelling for drop-in parity)."""
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        from ..models import xvfi as xvfi_model
+
+        return {
+            "required": {
+                "ckpt_name": (list(xvfi_model.CKPT_CONFIGS.keys()),),
+                "frames": ("IMAGE",),
+                "batch_size": ("INT", {"default": 1, "min": 1, "max": 100}),
+                "multipler": ("INT", {"default": 2, "min": 2, "max": 1000}),
+            },
+            **_OPTIONAL,
+        }
+
+    RETURN_TYPES = ("IMAGE",)
+    FUNCTION = "vfi"
+    CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
+
+    _cache: typing.Dict = {}
+
+    def vfi(
+        self,
+        ckpt_name: str,
+        frames,
+        batch_size: int = 1,
+        multipler: int = 2,
+        multiplier: int = None,
+        optional_interpolation_states: InterpolationStateList = None,
+        params: dict = None,
+        **kwargs,
+    ):
+        from ..models import xvfi as xvfi_model
+
+        mult = multiplier if multiplier is not None else multipler
+        frames = preprocess_frames(frames)
+        assert_batch_size(frames, 2, "XVFI")
+        if params is None:
+            params = get_converted_params(
+                "xvfi", ckpt_name,
+                convert=lambda sd: sd.get("state_dict_Model", sd),
+            )
+        key = (id(params), ckpt_name)
+        if key not in self._cache:
+            self._cache[key] = xvfi_model.make_model_fn(params, ckpt_name)
+        plan = plan_timestep(
+            frames.shape[0], mult, optional_interpolation_states,
+            zero_drops_pair=False,
+        )
+        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        return (postprocess_frames(out),)
