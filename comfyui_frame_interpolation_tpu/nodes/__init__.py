@@ -6,6 +6,7 @@ Every VFI node follows the reference protocol: classmethod ``INPUT_TYPES()``,
 36-75``) — but ``vfi`` consumes and returns NHWC jax arrays.
 """
 
+from .other_nodes import Gradually_More_Denoise_KSampler
 from .util_nodes import FloatToInt, MakeInterpolationStateList
 from .rife_node import RIFE_VFI
 from .vfi_nodes import (AMT_VFI, ATM_VFI, CAIN_VFI, EISAI_VFI, FILM_VFI, FLAVR_VFI, IFRNet_VFI,
@@ -30,6 +31,7 @@ NODE_CLASS_MAPPINGS = {
     "XVFI VFI": XVFI_VFI,
     "Make Interpolation State List": MakeInterpolationStateList,
     "VFI FloatToInt": FloatToInt,
+    "KSampler Gradually Adding More Denoise (efficient)": Gradually_More_Denoise_KSampler,
 }
 NODE_DISPLAY_NAME_MAPPINGS = {
     "RIFE VFI": "RIFE VFI (recommend rife47 and rife49)",
@@ -49,6 +51,7 @@ NODE_DISPLAY_NAME_MAPPINGS = {
     "XVFI VFI": "XVFI VFI",
     "Make Interpolation State List": "Make Interpolation State List",
     "VFI FloatToInt": "VFI FloatToInt",
+    "KSampler Gradually Adding More Denoise (efficient)": "KSampler Gradually Adding More Denoise (efficient)",
 }
 
 
