@@ -83,10 +83,40 @@ def _measure_pair_model(model_fn, batch, height, width, iters=5):
 
 
 def _load_ref(relpath, name):
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from conftest import load_reference_module
+    """Load a reference torch arch file by path with the comfy host API
+    stubbed. Standalone copy of the tests' loader — importing tests/conftest
+    would pin JAX to CPU and silently benchmark the host instead of the TPU."""
+    import importlib.util
+    import types
 
-    return load_reference_module(relpath, name)
+    import torch
+
+    if "comfy" not in sys.modules:
+        comfy = types.ModuleType("comfy")
+        mm = types.ModuleType("comfy.model_management")
+        mm.get_torch_device = lambda: torch.device("cpu")
+        mm.soft_empty_cache = lambda: None
+        mm.is_nvidia = lambda: False
+        comfy.model_management = mm
+        sys.modules["comfy"] = comfy
+        sys.modules["comfy.model_management"] = mm
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import torch_ops_stub
+
+    torch_ops_stub.install()
+    path = os.path.join("/root/reference", relpath)
+    pkg_name = f"benchpkg_{os.path.basename(os.path.dirname(path))}"
+    if pkg_name not in sys.modules:
+        pkg = types.ModuleType(pkg_name)
+        pkg.__path__ = [os.path.dirname(path)]
+        sys.modules[pkg_name] = pkg
+    full = f"{pkg_name}.{name}"
+    spec = importlib.util.spec_from_file_location(full, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full] = mod
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def bench_film(batch=4):

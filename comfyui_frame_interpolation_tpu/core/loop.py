@@ -28,7 +28,7 @@ from .schedule import Plan, Source, Task
 
 Array = jnp.ndarray
 
-__all__ = ["run_plan", "run_plan_window4"]
+__all__ = ["run_plan", "run_plan_pair_cached", "run_plan_window4"]
 
 
 def _gather(
@@ -122,6 +122,66 @@ def run_plan_window4(
         mids = model_fn(*windows)
         for i, task in enumerate(chunk):
             produced[task.id] = mids[i]
+    out = _gather(frames, produced, plan.output)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out
+
+
+def run_plan_pair_cached(
+    frames: Array,
+    plan: Plan,
+    reuse_fn: Callable[[Array, Array], object],
+    infer_fn: Callable[[Array, Array, object, Array], Array],
+    batch_size: int = 8,
+    out_dtype=None,
+) -> Array:
+    """Execute a single-level (timestep-mode) plan with per-pair caching.
+
+    ``reuse_fn(f0, f1) -> cache`` computes the timestep-independent state for a
+    pair batch once; ``infer_fn(f0, f1, cache, t) -> mid`` produces each
+    intermediate. For a multiplier-m schedule this runs the expensive pair
+    analysis once instead of m-1 times (the reference recomputes it per
+    timestep). Falls back to per-task semantics exactly: tasks are grouped by
+    endpoint pair, pairs bucketed by their timestep count so batch shapes stay
+    static.
+    """
+    frames = jnp.asarray(frames)
+    assert all(t.depth == 0 for t in plan.tasks), "pair-cached: flat plans only"
+    produced: Dict[int, Array] = {}
+
+    # group tasks by their endpoint pair, in first-appearance order
+    order: List[tuple] = []
+    groups: Dict[tuple, List[Task]] = {}
+    for task in plan.tasks:
+        key = (task.src0, task.src1)
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(task)
+
+    # bucket pairs by mid-count so each (bucket, chunk) has a static shape
+    by_count: Dict[int, List[tuple]] = {}
+    for key in order:
+        by_count.setdefault(len(groups[key]), []).append(key)
+
+    for m, keys in sorted(by_count.items()):
+        for start in range(0, len(keys), batch_size):
+            chunk = keys[start : start + batch_size]
+            n = len(chunk)
+            pad = batch_size - n
+            padded = chunk + [chunk[0]] * pad
+            f0 = _gather(frames, produced, [k[0] for k in padded])
+            f1 = _gather(frames, produced, [k[1] for k in padded])
+            cache = reuse_fn(f0, f1)
+            for j in range(m):
+                ts = [groups[k][j].t for k in chunk]
+                ts = [0.5 if t is None else t for t in ts]
+                tvec = jnp.asarray(ts + [ts[0]] * pad, dtype=frames.dtype)
+                mids = infer_fn(f0, f1, cache, tvec)
+                for i, k in enumerate(chunk):
+                    produced[groups[k][j].id] = mids[i]
+
     out = _gather(frames, produced, plan.output)
     if out_dtype is not None:
         out = out.astype(out_dtype)

@@ -637,3 +637,36 @@ def make_model_fn(params: Params, union: bool = False, scale: float = 1.0, dtype
         return out.astype(jnp.float32)
 
     return model_fn
+
+
+def make_pair_fns(
+    params: Params, union: bool = False, scale: float = 1.0, dtype=jnp.float32
+):
+    """Split the model into a per-pair ``reuse_fn`` and a per-timestep
+    ``infer_fn`` so the flow/metric/feature computation is shared across a
+    pair's timesteps. The reference node recomputes ``reuse`` for every
+    timestep (``gmfss_fortuna/__init__.py:55-78``, called per
+    ``return_middle_frame``); semantics are identical since ``reuse`` does not
+    depend on the timestep."""
+
+    def _pad(img):
+        n, h, w, _ = img.shape
+        tmp = max(64, int(64 / scale))
+        ph = ((h - 1) // tmp + 1) * tmp
+        pw = ((w - 1) // tmp + 1) * tmp
+        return jnp.pad(img, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+
+    @jax.jit
+    def reuse_fn(f0, f1):
+        return reuse(params, _pad(f0.astype(dtype)), _pad(f1.astype(dtype)), scale)
+
+    @jax.jit
+    def infer_fn(f0, f1, r, t):
+        h, w = f0.shape[1], f0.shape[2]
+        out = inference(
+            params, _pad(f0.astype(dtype)), _pad(f1.astype(dtype)), r,
+            t.astype(dtype), union=union,
+        )
+        return out[:, :h, :w, :].astype(jnp.float32)
+
+    return reuse_fn, infer_fn

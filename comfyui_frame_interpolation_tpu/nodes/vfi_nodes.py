@@ -8,7 +8,7 @@ import typing
 import jax.numpy as jnp
 
 from ..core.frames import assert_batch_size, postprocess_frames, preprocess_frames
-from ..core.loop import run_plan
+from ..core.loop import run_plan, run_plan_pair_cached
 from ..core.schedule import (
     InterpolationStateList,
     plan_bisection,
@@ -546,9 +546,14 @@ class GMFSS_Fortuna_VFI:
             params = self._load_params(ckpt_name)
         key = (id(params), union)
         if key not in self._cache:
-            self._cache[key] = gmfss_model.make_model_fn(params, union=union)
+            self._cache[key] = gmfss_model.make_pair_fns(params, union=union)
+        reuse_fn, infer_fn = self._cache[key]
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
-        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        # per-pair reuse caching: flows/metrics/features are computed once per
+        # pair instead of once per timestep (see models/gmfss.make_pair_fns)
+        out = run_plan_pair_cached(
+            frames, plan, reuse_fn, infer_fn, batch_size=batch_size
+        )
         return (postprocess_frames(out),)
 
 

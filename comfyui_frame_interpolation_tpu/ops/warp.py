@@ -149,12 +149,15 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
     else uses the exact XLA path.
     """
     h, w = img.shape[1], img.shape[2]
+    c_bytes = img.shape[-1] * img.dtype.itemsize
     if (
         padding_mode == "border"
         and _backend() == "pallas"
         and h >= 64
         and w >= 128
         and h * w >= 128 * 128
+        # double-buffered window must fit VMEM: 2 * C * 32 * 384 * itemsize
+        and c_bytes <= 256
     ):
         from .pallas.warp_kernel import warp_pallas_v2
 

@@ -232,3 +232,32 @@ def test_state_list_semantics():
     assert keep.is_frame_skipped(0)
     assert not keep.is_frame_skipped(1)
     assert InterpolationStateList.from_string("1,2", True).frame_indices == [1, 2]
+
+
+def test_run_plan_pair_cached_matches_run_plan():
+    """The pair-cached executor must be output-identical to run_plan for a
+    split model (reuse independent of t)."""
+    import jax.numpy as jnp
+
+    from comfyui_frame_interpolation_tpu.core.loop import (
+        run_plan, run_plan_pair_cached,
+    )
+    from comfyui_frame_interpolation_tpu.core.schedule import plan_timestep
+
+    frames = jnp.arange(4 * 2 * 3 * 1, dtype=jnp.float32).reshape(4, 2, 3, 1)
+
+    def model_fn(f0, f1, t):
+        return f0 * 0.25 + f1 * 0.5 + t[:, None, None, None]
+
+    def reuse_fn(f0, f1):
+        return {"a": f0 * 0.25, "b": f1 * 0.5}
+
+    def infer_fn(f0, f1, cache, t):
+        return cache["a"] + cache["b"] + t[:, None, None, None]
+
+    states = InterpolationStateList([1], is_skip_list=True)
+    for mult, st in ((2, None), (4, states), ([2, 3, 4], None)):
+        plan = plan_timestep(4, mult, st)
+        a = run_plan(frames, plan, model_fn, batch_size=2)
+        b = run_plan_pair_cached(frames, plan, reuse_fn, infer_fn, batch_size=2)
+        assert jnp.allclose(a, b), mult
