@@ -44,3 +44,7 @@ def get_ckpt_container_path(model_type: str) -> str:
             os.path.join(os.path.dirname(os.path.dirname(__file__)), base)
         )
     return os.path.join(base, model_type)
+
+
+def get_ops_backend() -> str:
+    return load_config()["ops_backend"]

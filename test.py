@@ -45,9 +45,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--node", default="RIFE VFI")
     ap.add_argument("--ckpt", default="rife47.pth")
+    default_frames = os.path.join(os.path.dirname(__file__), "demo_frames")
     ap.add_argument(
-        "--frames-dir",
-        default=os.environ.get("DEMO_FRAMES", "/root/reference/demo_frames"),
+        "--frames-dir", default=os.environ.get("DEMO_FRAMES", default_frames)
     )
     ap.add_argument("--pair", default="anime")
     ap.add_argument("--multiplier", type=int, default=4)
