@@ -133,7 +133,11 @@ def bench_film(batch=4):
     )
 
 
-def bench_m2m(batch=4):
+def bench_m2m(batch=2):
+    # random weights produce unbounded flows that would always trip the
+    # splat dispatcher's exact-fallback; real checkpoints' flows sit inside
+    # the kernel window, so benchmark the kernel path
+    os.environ.setdefault("CFI_TPU_SPLAT", "pallas")
     from comfyui_frame_interpolation_tpu.models import m2m
 
     def build():
@@ -179,6 +183,17 @@ def bench_flavr(batch=2):
     from comfyui_frame_interpolation_tpu.utils.benchmark import measure
 
     def build():
+        import types
+
+        # flavr_arch imports ".resnet_3D" from the literal "vfi_models.flavr"
+        for name, path in (
+            ("vfi_models", "/root/reference/vfi_models"),
+            ("vfi_models.flavr", "/root/reference/vfi_models/flavr"),
+        ):
+            if name not in sys.modules or not hasattr(sys.modules[name], "__path__"):
+                pkg = types.ModuleType(name)
+                pkg.__path__ = [path]
+                sys.modules[name] = pkg
         return _load_ref(
             "vfi_models/flavr/flavr_arch.py", "bench_flavr_arch"
         ).UNet_3D_3D(
@@ -188,11 +203,8 @@ def bench_flavr(batch=2):
 
     params = _reference_params(build)
     model_fn = flavr.make_model_fn(params, dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    window = jax.device_put(
-        jnp.asarray(rng.random((batch, 4, 1080, 1920, 3), np.float32))
-    )
-    sec = measure(model_fn, window, iters=5)
+    fs = [_rand_frames(batch, 1080, 1920, s) for s in range(4)]
+    sec = measure(model_fn, *fs, iters=5)
     return batch / sec
 
 

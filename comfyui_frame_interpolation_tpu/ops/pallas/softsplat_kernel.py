@@ -1,0 +1,264 @@
+"""Forward-splat (softsplat) Pallas kernel for TPU.
+
+The reference op is a CUDA ``atomicAdd`` scatter (``cupy_ops/softsplat.py:
+140-192``): every source pixel adds its value into the 4 bilinear neighbors of
+``(x + flow_x, y + flow_y)``. XLA lowers the equivalent ``scatter-add`` to a
+serial loop on TPU (~475 ms for one 1080p 3-channel splat) — two orders of
+magnitude off the roofline.
+
+This kernel inverts the scatter into per-output-tile *gathers expressed as
+matmuls*: for each (8, 128) output tile it DMAs a fixed window of the source
+(values + flow) centered on the tile and accumulates
+
+    out[m, n] += sum_j L[m, j] * R[j, n]
+
+where ``j`` ranges over window pixels, ``L`` carries the y-tap one-hot times
+the bilinear y-weight times the source value, and ``R`` carries the x-tap
+one-hot times the x-weight. ``R`` is shared across channels, and the
+contraction runs on the MXU. Bilinear 4-tap structure folds into a single
+matmul per (row-group, chunk, channel): L sums both y-taps, R both x-taps.
+
+Locality contract: a source pixel's contribution is accumulated by the output
+tile that owns its target, and every tile sees a window spanning
+``[-(WIN_H-OFF_Y-8), OFF_Y]`` rows and ``(-(WIN_W-OFF_X-128), OFF_X]`` columns
+of displacement around it. With the defaults (64, 384, 24, 128) flows within
+y ∈ [-32, 24] and x ∈ [-128, 128] pixels are splatted exactly; contributions
+from larger displacements are dropped (the CUDA reference places them). The
+dispatcher in ``ops/softsplat.py`` keeps the exact XLA path available
+(``ops_backend: xla`` or out-of-range flows expected).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+TILE_H = 8
+TILE_W = 128
+DEF_WIN_H = 64
+DEF_WIN_W = 384
+DEF_OFF_Y = 24
+DEF_OFF_X = 128
+
+
+def _splat_kernel(
+    vals_ref,  # ANY [B, C, H, W] (native dtype)
+    flow_ref,  # ANY [B, 2, H, W] float32 (fx, fy)
+    out_ref,  # VMEM block [1, C, 8, 128]
+    win_ref,  # VMEM scratch [2, C, WIN_H, WIN_W]
+    fwin_ref,  # VMEM scratch [2, 2, WIN_H, WIN_W] float32
+    sem,
+    *,
+    h: int,
+    w: int,
+    win_h: int,
+    win_w: int,
+    off_y: int,
+    off_x: int,
+    c: int,
+    grid_hw: Tuple[int, int],
+):
+    gh, gw = grid_hw
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    wi = pl.program_id(2)
+    t = (bi * gh + hi) * gw + wi
+    n_tiles = pl.num_programs(0) * gh * gw
+
+    def bases(hi_, wi_):
+        by = jnp.clip(hi_ * TILE_H - off_y, 0, h - win_h)
+        bx = jnp.clip(wi_ * TILE_W - off_x, 0, w - win_w)
+        return pl.multiple_of(by, TILE_H), pl.multiple_of(bx, TILE_W)
+
+    def dmas(tile_idx, slot):
+        b_k = tile_idx // (gh * gw)
+        r = tile_idx - b_k * gh * gw
+        hi_ = r // gw
+        wi_ = r - hi_ * gw
+        by, bx = bases(hi_, wi_)
+        return (
+            pltpu.make_async_copy(
+                vals_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
+                win_ref.at[slot],
+                sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                flow_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
+                fwin_ref.at[slot],
+                sem.at[slot, 1],
+            ),
+        )
+
+    @pl.when(t == 0)
+    def _():
+        for d in dmas(0, 0):
+            d.start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        for d in dmas(t + 1, (t + 1) % 2):
+            d.start()
+
+    for d in dmas(t, t % 2):
+        d.wait()
+    slot = t % 2
+
+    by, bx = bases(hi, wi)
+    ty0 = hi * TILE_H  # tile origin in the output
+    tx0 = wi * TILE_W
+
+    n_groups = win_h // TILE_H
+    n_chunks = win_w // TILE_W
+
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+
+    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
+    for g in range(n_groups):
+        r0 = g * TILE_H
+        for ci in range(n_chunks):
+            c0 = ci * TILE_W
+            fx = fwin_ref[slot, 0, r0 : r0 + TILE_H, c0 : c0 + TILE_W]
+            fy = fwin_ref[slot, 1, r0 : r0 + TILE_H, c0 : c0 + TILE_W]
+            # global source coords of this window block
+            sx = (bx + c0 + iota_l).astype(jnp.float32)
+            sy = (by + r0 + iota_s).astype(jnp.float32)
+            tx = sx + fx
+            ty = sy + fy
+            # non-finite flows must not contribute anywhere
+            bad = ~(jnp.isfinite(tx) & jnp.isfinite(ty))
+            tx = jnp.where(bad, -1e9, tx)
+            ty = jnp.where(bad, -1e9, ty)
+            y0 = jnp.floor(ty)
+            wy1 = ty - y0
+            # tile-local integer taps; out-of-tile (incl. out-of-frame) lands
+            # outside [0, TILE) and the one-hots reject it
+            ly = y0.astype(jnp.int32) - ty0
+            # valid-target masks per y-tap (frame bounds)
+            fy0v = (y0 >= 0) & (y0 <= h - 1)
+            fy1v = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+
+            # R[j, n]: x-tap one-hot * x-weight, j = window pixel (this block,
+            # laid out r-major), shared across channels. Only the f32 target-x
+            # is transposed; everything else is re-derived in the transposed
+            # domain (Mosaic cannot transpose i1 masks).
+            txT = jnp.transpose(tx)  # [128, 8]
+            n_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_W, TILE_W), 1)
+            vals = [
+                win_ref[slot, ch, r0 : r0 + TILE_H, c0 : c0 + TILE_W].astype(
+                    jnp.float32
+                )
+                for ch in range(c)
+            ]
+            for rr in range(TILE_H):
+                # R slab for window row rr: x-tap one-hot * x-weight,
+                # [128 j, 128 n]; shared across channels, single one live.
+                tx_col = jax.lax.broadcast_in_dim(
+                    txT[:, rr : rr + 1], (TILE_W, TILE_W), (0, 1)
+                )
+                x0_col = jnp.floor(tx_col)
+                wx1_col = tx_col - x0_col
+                lx_col = x0_col.astype(jnp.int32) - tx0
+                vx0_col = (x0_col >= 0) & (x0_col <= w - 1)
+                vx1_col = (x0_col + 1 >= 0) & (x0_col + 1 <= w - 1)
+                slab = jnp.where(
+                    (lx_col == n_iota) & vx0_col, 1.0 - wx1_col, 0.0
+                ) + jnp.where((lx_col + 1 == n_iota) & vx1_col, wx1_col, 0.0)
+
+                # y-tap one-hot * y-weight for this window row, shared
+                ly_r = jax.lax.broadcast_in_dim(
+                    ly[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                )
+                wy1_r = jax.lax.broadcast_in_dim(
+                    wy1[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                )
+                vy0_r = jax.lax.broadcast_in_dim(
+                    fy0v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                )
+                vy1_r = jax.lax.broadcast_in_dim(
+                    fy1v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                )
+                ymask = jnp.where(
+                    (ly_r == iota_s) & vy0_r, 1.0 - wy1_r, 0.0
+                ) + jnp.where((ly_r + 1 == iota_s) & vy1_r, wy1_r, 0.0)
+                for ch in range(c):
+                    val_r = jax.lax.broadcast_in_dim(
+                        vals[ch][rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                    )
+                    # MXU-default (bf16-input) precision: full-f32 passes blow
+                    # the scoped-VMEM stack; resulting relative error ~1e-3,
+                    # invisible after the mode wrappers' normalization
+                    accs[ch] = accs[ch] + jnp.dot(
+                        ymask * val_r, slab,
+                        preferred_element_type=jnp.float32,
+                    )
+
+    for ch in range(c):
+        out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win_h", "win_w", "off_y", "off_x")
+)
+def softsplat_pallas_planes(
+    vals: Array,  # [B, C, H, W]
+    flow: Array,  # [B, 2, H, W] float32
+    win_h: int = DEF_WIN_H,
+    win_w: int = DEF_WIN_W,
+    off_y: int = DEF_OFF_Y,
+    off_x: int = DEF_OFF_X,
+) -> Array:
+    b, c, h, w = vals.shape
+    assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
+    win_h = min(win_h, h)
+    win_w = min(win_w, w)
+    gh, gw = h // TILE_H, w // TILE_W
+    kernel = functools.partial(
+        _splat_kernel,
+        h=h, w=w, win_h=win_h, win_w=win_w,
+        off_y=off_y, off_x=off_x, c=c, grid_hw=(gh, gw),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, gh, gw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, TILE_H, TILE_W), lambda bi, hi, wi: (bi, 0, hi, wi),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, win_h, win_w), vals.dtype),
+            pltpu.VMEM((2, 2, win_h, win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )(vals, flow)
+
+
+def softsplat_pallas(ten_in: Array, ten_flow: Array, **win_kw) -> Array:
+    """NHWC raw bilinear forward splat (reference ``softsplat_out``) via the
+    windowed matmul-scatter kernel. See the module docstring for the locality
+    contract."""
+    n, h, w, c = ten_in.shape
+    ph = -h % TILE_H
+    pw = -w % TILE_W
+    if ph or pw:
+        # zero-pad: padded sources carry zero values and zero flow, so they
+        # only splat zeros onto pad positions, which are cropped below
+        ten_in = jnp.pad(ten_in, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        ten_flow = jnp.pad(ten_flow, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    vals = ten_in.transpose(0, 3, 1, 2)
+    flow = ten_flow.astype(jnp.float32).transpose(0, 3, 1, 2)
+    out = softsplat_pallas_planes(vals, flow, **win_kw)
+    out = out.transpose(0, 2, 3, 1)[:, :h, :w, :]
+    return out.astype(ten_in.dtype)

@@ -228,7 +228,8 @@ def warp_pallas(
 def _warp_kernel_v2(
     by_ref, bx_ref,  # scalar-prefetched window bases [T]
     fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
-    *, h: int, w: int, win_h: int, win_w: int, c: int, grid_hw: Tuple[int, int]
+    *, h: int, w: int, win_h: int, win_w: int, c: int,
+    grid_hw: Tuple[int, int], zeros: bool = False
 ):
     gh, gw = grid_hw
     bi = pl.program_id(0)
@@ -263,13 +264,31 @@ def _warp_kernel_v2(
     xs = (
         jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + wi * TILE_W
     ).astype(jnp.float32)
-    sx = jnp.clip(xs + fx, 0.0, w - 1.0)
-    sy = jnp.clip(ys + fy, 0.0, h - 1.0)
+    if zeros:
+        # zeros padding: taps keep their true (unclamped) coords; out-of-frame
+        # taps get zero weight. Non-finite coords are pushed out of frame.
+        sx = xs + fx
+        sy = ys + fy
+        finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+        sx = jnp.where(finite, sx, -4.0 * w)
+        sy = jnp.where(finite, sy, -4.0 * h)
+        sx = jnp.clip(sx, -2.0 * w, 2.0 * w)  # keep int32 conversion safe
+        sy = jnp.clip(sy, -2.0 * h, 2.0 * h)
+    else:
+        sx = jnp.clip(xs + fx, 0.0, w - 1.0)
+        sy = jnp.clip(ys + fy, 0.0, h - 1.0)
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     wx1 = sx - x0
     wy1 = sy - y0
     wx0 = 1.0 - wx1
+    if zeros:
+        vx0 = (x0 >= 0.0) & (x0 <= w - 1.0)
+        vx1 = (x0 + 1.0 >= 0.0) & (x0 + 1.0 <= w - 1.0)
+        vy0 = (y0 >= 0.0) & (y0 <= h - 1.0)
+        vy1 = (y0 + 1.0 >= 0.0) & (y0 + 1.0 <= h - 1.0)
+        wx0 = jnp.where(vx0, wx0, 0.0)
+        wx1 = jnp.where(vx1, wx1, 0.0)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
@@ -297,9 +316,15 @@ def _warp_kernel_v2(
             metas.append((local, in_chunk))
         tap_meta.append(metas)
 
+    if zeros:
+        wy0m = jnp.where(vy0, 1.0 - wy1, 0.0)
+        wy1m = jnp.where(vy1, wy1, 0.0)
+    else:
+        wy0m = 1.0 - wy1
+        wy1m = wy1
     accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
     for r in range(win_h):
-        wrow = jnp.where(ly0 == r, 1.0 - wy1, 0.0) + jnp.where(ly1 == r, wy1, 0.0)
+        wrow = jnp.where(ly0 == r, wy0m, 0.0) + jnp.where(ly1 == r, wy1m, 0.0)
         wr0 = wrow * wx0
         wr1 = wrow * wx1
         for ch in range(c):
@@ -323,15 +348,21 @@ def _warp_kernel_v2(
         out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("win_h", "win_w"))
+@functools.partial(
+    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw")
+)
 def warp_pallas_planes_v2(
     planes: Array,  # [B, C, H, W]
     fx: Array,
     fy: Array,
     win_h: int = DEF_WIN_H,
     win_w: int = DEF_WIN_W,
+    zeros: bool = False,
+    frame_hw: Optional[Tuple[int, int]] = None,
 ) -> Array:
     b, c, h, w = planes.shape
+    # true frame bounds for clamping/validity (the array may be padded)
+    hb, wb = frame_hw or (h, w)
     assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
     win_h = min(win_h, h)
     win_w = min(win_w, w)
@@ -339,10 +370,10 @@ def warp_pallas_planes_v2(
 
     # per-tile aligned window bases, computed as a cheap XLA reduction
     y0 = jnp.floor(jnp.clip(
-        jnp.arange(h, dtype=fy.dtype)[None, :, None] + fy, 0.0, h - 1.0
+        jnp.arange(h, dtype=fy.dtype)[None, :, None] + fy, 0.0, hb - 1.0
     )).astype(jnp.int32)
     x0 = jnp.floor(jnp.clip(
-        jnp.arange(w, dtype=fx.dtype)[None, None, :] + fx, 0.0, w - 1.0
+        jnp.arange(w, dtype=fx.dtype)[None, None, :] + fx, 0.0, wb - 1.0
     )).astype(jnp.int32)
     by = jnp.min(y0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
     bx = jnp.min(x0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
@@ -350,7 +381,8 @@ def warp_pallas_planes_v2(
     bx = jnp.clip((bx // TILE_W) * TILE_W, 0, max(w - win_w, 0)).reshape(-1)
 
     kernel = functools.partial(
-        _warp_kernel_v2, h=h, w=w, win_h=win_h, win_w=win_w, c=c, grid_hw=(gh, gw)
+        _warp_kernel_v2, h=hb, w=wb, win_h=win_h, win_w=win_w, c=c,
+        grid_hw=(gh, gw), zeros=zeros,
     )
     flow_spec = pl.BlockSpec(
         (1, TILE_H, TILE_W), lambda bi, hi, wi, *_: (bi, hi, wi),
@@ -381,9 +413,10 @@ def warp_pallas_planes_v2(
 
 
 def warp_pallas_v2(
-    img: Array, flow: Array, win_h: int = DEF_WIN_H, win_w: int = DEF_WIN_W
+    img: Array, flow: Array, win_h: int = DEF_WIN_H, win_w: int = DEF_WIN_W,
+    zeros: bool = False,
 ) -> Array:
-    """NHWC warp (border) via the double-buffered per-image kernel."""
+    """NHWC warp (border or zeros padding) via the double-buffered kernel."""
     b, h, w, c = img.shape
     ph = -h % TILE_H
     pw = -w % TILE_W
@@ -393,7 +426,8 @@ def warp_pallas_v2(
         flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
     planes = img.transpose(0, 3, 1, 2)
     out = warp_pallas_planes_v2(
-        planes, flow[..., 0], flow[..., 1], win_h=win_h, win_w=win_w
+        planes, flow[..., 0], flow[..., 1], win_h=win_h, win_w=win_w,
+        zeros=zeros, frame_hw=(h, w),
     )
     out = out.transpose(0, 2, 3, 1)
     return out[:, :h, :w, :]

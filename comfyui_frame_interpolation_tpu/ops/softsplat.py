@@ -24,8 +24,10 @@ Layout: NHWC input, ``[N, H, W, 2]`` flow (x then y), ``[N, H, W, 1]`` metric.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -34,7 +36,54 @@ __all__ = ["softsplat_func", "softsplat", "function_softsplat"]
 
 
 def softsplat_func(ten_in: Array, ten_flow: Array) -> Array:
-    """Raw bilinear forward splat (reference ``softsplat_out`` kernel)."""
+    """Raw bilinear forward splat (reference ``softsplat_out`` kernel).
+
+    On TPU (ops_backend "pallas") this dispatches to the windowed
+    matmul-scatter kernel (``ops/pallas/softsplat_kernel.py``, ~17x faster
+    than the XLA scatter at 1080p) guarded by a runtime flow-range check:
+    batches containing displacements beyond the kernel's window contract
+    fall back to the exact XLA scatter via ``lax.cond``."""
+    from .warp import _backend
+
+    n, h, w, c = ten_in.shape
+    mode = os.environ.get("CFI_TPU_SPLAT", "auto")  # auto | pallas | xla
+    if (
+        mode != "xla"
+        and _backend() == "pallas"
+        and h * w >= 128 * 128
+        and w >= 128
+        and c <= 16
+    ):
+        from .pallas.softsplat_kernel import (
+            DEF_OFF_X, DEF_OFF_Y, DEF_WIN_H, DEF_WIN_W, softsplat_pallas,
+        )
+
+        fx = ten_flow[..., 0]
+        fy = ten_flow[..., 1]
+        finite = jnp.isfinite(fx) & jnp.isfinite(fy)
+        fx = jnp.where(finite, fx, jnp.inf)
+        fy = jnp.where(finite, fy, jnp.inf)
+        # conservative window-coverage bounds (see kernel docstring); the
+        # non-finite lanes are excluded (both paths drop them)
+        in_range = (
+            jnp.all(jnp.where(finite, fy, 0.0) >= -(DEF_WIN_H - DEF_OFF_Y - 8 - 1))
+            & jnp.all(jnp.where(finite, fy, 0.0) <= DEF_OFF_Y - 1)
+            & jnp.all(jnp.where(finite, fx, 0.0) >= -(DEF_WIN_W - DEF_OFF_X - 128 - 1))
+            & jnp.all(jnp.where(finite, fx, 0.0) <= DEF_OFF_X - 1)
+        )
+        if mode == "pallas":  # forced: skip the range guard (bench/known data)
+            return softsplat_pallas(ten_in, ten_flow)
+        return jax.lax.cond(
+            in_range,
+            lambda a, f: softsplat_pallas(a, f),
+            lambda a, f: _softsplat_xla(a, f),
+            ten_in, ten_flow,
+        )
+    return _softsplat_xla(ten_in, ten_flow)
+
+
+def _softsplat_xla(ten_in: Array, ten_flow: Array) -> Array:
+    """Exact scatter-add path (any backend, any flow magnitude)."""
     n, h, w, c = ten_in.shape
     dtype = ten_in.dtype
 

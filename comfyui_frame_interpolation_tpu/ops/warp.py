@@ -149,19 +149,30 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
     else uses the exact XLA path.
     """
     h, w = img.shape[1], img.shape[2]
-    c_bytes = img.shape[-1] * img.dtype.itemsize
     if (
-        padding_mode == "border"
+        padding_mode in ("border", "zeros")
         and _backend() == "pallas"
         and h >= 64
         and w >= 128
         and h * w >= 128 * 128
-        # double-buffered window must fit VMEM: 2 * C * 32 * 384 * itemsize
-        and c_bytes <= 256
     ):
         from .pallas.warp_kernel import warp_pallas_v2
 
-        return warp_pallas_v2(img, flow)
+        zeros = padding_mode == "zeros"
+        # The kernel fully unrolls the channel loop; too many channels blow
+        # the scoped-VMEM stack (C=36 border fine; C=32 zeros-mode OOMs —
+        # the validity masks add register pressure). Warping is per-channel
+        # independent, so wide features are split into chunks.
+        c = img.shape[-1]
+        cap = 24 if zeros else 36
+        if c <= cap:
+            return warp_pallas_v2(img, flow, zeros=zeros)
+        step = 16 if zeros else 32
+        parts = [
+            warp_pallas_v2(img[..., i : i + step], flow, zeros=zeros)
+            for i in range(0, c, step)
+        ]
+        return jnp.concatenate(parts, axis=-1)
     return warp_xla(img, flow, padding_mode)
 
 
