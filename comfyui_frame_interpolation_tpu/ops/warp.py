@@ -167,6 +167,9 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
         cap = 24 if zeros else 36
         if c <= cap:
             return warp_pallas_v2(img, flow, zeros=zeros)
+        # wide features: chunk the channel dim (a batch-folded single-call
+        # variant was measured slower and HBM-heavier — the reorder copies
+        # outweigh the saved per-call overhead)
         step = 16 if zeros else 32
         parts = [
             warp_pallas_v2(img[..., i : i + step], flow, zeros=zeros)
