@@ -174,23 +174,105 @@ def _bilinear_axis_weights(
     return i0, i1, w1
 
 
+def _down_even_2d(x: Array, sh: int, sw: int) -> Array:
+    """Bilinear downscale by even integer factors (align_corners=False).
+
+    For even factor s the two source taps of output k are rows
+    ``s*k + s/2 - 1`` and ``s*k + s/2`` with weight 0.5 each, so the resize is
+    an offset slice + a 2-tap mean — one ``reduce_window`` instead of the
+    gather lowering XLA produces for fancy indexing (~5x faster at 1080p).
+    """
+    oy = sh // 2 - 1 if sh > 1 else 0
+    ox = sw // 2 - 1 if sw > 1 else 0
+    if oy or ox:
+        x = x[:, oy:, ox:, :]
+    wh = 2 if sh > 1 else 1
+    ww = 2 if sw > 1 else 1
+    s = jax.lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        jax.lax.add,
+        (1, wh, ww, 1),
+        (1, sh, sw, 1),
+        "VALID",
+    )
+    return s * jnp.asarray(1.0 / (wh * ww), x.dtype)
+
+
+def _up_int_axis(x: Array, axis: int, s: int) -> Array:
+    """Bilinear upscale by integer factor s along H (axis=1) or W (axis=2),
+    align_corners=False, as s phase-shifted 2-tap lerps interleaved — pure
+    slices + elementwise, no gathers. Edge-replicate padding reproduces
+    torch's source-coordinate clamping exactly (both taps collapse to the
+    edge row)."""
+    n, h, w, c = x.shape
+    size = x.shape[axis]
+    pad = [(0, 0)] * 4
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, mode="edge")
+
+    def sl(start):
+        idx = [slice(None)] * 4
+        idx[axis] = slice(start, start + size)
+        return xp[tuple(idx)]
+
+    phases = []
+    for j in range(s):
+        src = (j + 0.5) / s - 0.5
+        i0 = math.floor(src)
+        w1 = jnp.asarray(src - i0, x.dtype)
+        phases.append(sl(i0 + 1) * (1 - w1) + sl(i0 + 2) * w1)
+    out = jnp.stack(phases, axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = size * s
+    return out.reshape(new_shape)
+
+
 def resize_bilinear(
     x: Array, out_hw: Tuple[int, int], align_corners: bool = False
 ) -> Array:
-    """torch ``F.interpolate(mode="bilinear")`` — no antialias, both conventions."""
+    """torch ``F.interpolate(mode="bilinear")`` — no antialias, both conventions.
+
+    Integer-factor resizes with ``align_corners=False`` (every pyramid step in
+    the reference models) take slice/reduce_window fast paths; everything else
+    falls back to the general two-tap gather."""
     n, h, w, c = x.shape
     oh, ow = out_hw
     if (oh, ow) == (h, w):
         return x
+    if not align_corners:
+        # even-integer downscale both axes → one fused 2x2-tap mean
+        if (
+            h % oh == 0 and w % ow == 0
+            and (h // oh) % 2 == 0 and (w // ow) % 2 == 0
+        ):
+            return _down_even_2d(x, h // oh, w // ow)
+        # per-axis fast paths (integer up; even-integer down)
+        if h % oh == 0 and (h // oh) % 2 == 0:
+            x = _down_even_2d(x, h // oh, 1)
+            h = oh
+        elif oh % h == 0 and oh != h:
+            x = _up_int_axis(x, 1, oh // h)
+            h = oh
+        if w % ow == 0 and (w // ow) % 2 == 0:
+            x = _down_even_2d(x, 1, w // ow)
+            w = ow
+        elif ow % w == 0 and ow != w:
+            x = _up_int_axis(x, 2, ow // w)
+            w = ow
+        if (oh, ow) == (h, w):
+            return x
     dt = x.dtype
     i0, i1, wy = _bilinear_axis_weights(h, oh, align_corners)
-    x = x[:, i0, :, :] * (1.0 - wy[None, :, None, None]).astype(dt) + x[
-        :, i1, :, :
-    ] * wy[None, :, None, None].astype(dt)
+    if oh != h:
+        x = x[:, i0, :, :] * (1.0 - wy[None, :, None, None]).astype(dt) + x[
+            :, i1, :, :
+        ] * wy[None, :, None, None].astype(dt)
     j0, j1, wx = _bilinear_axis_weights(w, ow, align_corners)
-    x = x[:, :, j0, :] * (1.0 - wx[None, None, :, None]).astype(dt) + x[
-        :, :, j1, :
-    ] * wx[None, None, :, None].astype(dt)
+    if ow != w:
+        x = x[:, :, j0, :] * (1.0 - wx[None, None, :, None]).astype(dt) + x[
+            :, :, j1, :
+        ] * wx[None, None, :, None].astype(dt)
     return x
 
 

@@ -54,11 +54,27 @@ def test_resize_bilinear(out_hw, align_corners):
     np.testing.assert_allclose(j2n(out), ref.numpy(), rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("scale", [0.125, 0.5, 2.0, 4.0])
+@pytest.mark.parametrize("scale", [0.125, 0.25, 0.5, 2.0, 3.0, 4.0, 8.0])
 def test_resize_by_scale(scale):
     x = torch.randn(1, 4, 16, 32)
     ref = F.interpolate(x, scale_factor=scale, mode="bilinear", align_corners=False)
     out = L.resize_by_scale(t2j_nchw(x), scale, align_corners=False)
+    np.testing.assert_allclose(j2n(out), ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("out_hw", [
+    (8, 8),    # mixed even-down H (x2), even-down W (x4)
+    (48, 16),  # up x3 H, even-down x2 W
+    (32, 96),  # up x2 H, up x3 W
+    (4, 96),   # down x4 H, up x3 W
+    (16, 10),  # identity H, non-integer W (gather fallback)
+    (80, 32),  # up x5 H, identity W
+])
+def test_resize_bilinear_fast_paths(out_hw):
+    """Integer-factor fast paths (slices/reduce_window) vs torch."""
+    x = torch.randn(2, 5, 16, 32)
+    ref = F.interpolate(x, size=out_hw, mode="bilinear", align_corners=False)
+    out = L.resize_bilinear(t2j_nchw(x), out_hw, align_corners=False)
     np.testing.assert_allclose(j2n(out), ref.numpy(), rtol=1e-4, atol=1e-5)
 
 
