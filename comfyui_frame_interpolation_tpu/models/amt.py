@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.warp import bilinear_sample, warp
-from .common import conv2d, conv_transpose2d, leaky_relu, prelu, resize_by_scale
+from .common import cast_params, conv2d, conv_transpose2d, leaky_relu, prelu, resize_by_scale
 
 Array = jnp.ndarray
 Params = Dict
@@ -418,6 +418,7 @@ def apply(
 
 
 def make_model_fn(params: Params, ckpt_name: str, dtype=jnp.float32):
+    params = cast_params(params, dtype)
     cfg = CKPT_CONFIGS[ckpt_name]
 
     @jax.jit

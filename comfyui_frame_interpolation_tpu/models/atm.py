@@ -25,6 +25,7 @@ import numpy as np
 
 from ..ops.warp import warp
 from .common import (
+    cast_params,
     conv2d,
     conv_transpose2d,
     linear,
@@ -533,6 +534,7 @@ def make_model_fn(
     ensemble_global_motion: bool = False,
     dtype=jnp.float32,
 ):
+    params = cast_params(params, dtype)
     @jax.jit
     def model_fn(f0, f1, t):
         n, h, w, _ = f0.shape

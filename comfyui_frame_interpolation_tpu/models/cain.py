@@ -17,7 +17,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .common import conv2d, leaky_relu
+from .common import cast_params, conv2d, leaky_relu
 
 Array = jnp.ndarray
 Params = Dict
@@ -120,6 +120,7 @@ def apply(params: Params, x1: Array, x2: Array, timestep=None) -> Array:
 
 
 def make_model_fn(params: Params, dtype=jnp.float32):
+    params = cast_params(params, dtype)
     @jax.jit
     def model_fn(f0, f1, t):
         out = apply(params, f0.astype(dtype), f1.astype(dtype))

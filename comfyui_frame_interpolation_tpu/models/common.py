@@ -46,7 +46,23 @@ __all__ = [
     "max_pool2d",
     "sigmoid",
     "interpolate_like",
+    "cast_params",
 ]
+
+
+def cast_params(params: Params, dtype) -> Params:
+    """Cast every floating leaf of a parameter tree to ``dtype`` (the analog of
+    the reference's ``model.half()`` fp16 mode). bf16 activations against f32
+    weights would silently promote every conv/matmul back to f32 and halve MXU
+    throughput, so ``make_model_fn``s cast once up front."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else x,
+        params,
+    )
 
 
 def _pair(v) -> Tuple[int, int]:

@@ -40,6 +40,7 @@ from ..ops.edt import batch_edt
 from ..ops.softsplat import function_softsplat
 from ..ops.warp import bilinear_sample
 from .common import (
+    cast_params,
     avg_pool2d,
     batch_norm,
     conv2d,
@@ -728,6 +729,7 @@ def apply(
 
 def make_model_fn(params: Params, dtype=jnp.float32):
     """Batched (f0, f1, t) → mid callable for the plan executor."""
+    params = cast_params(params, dtype)
 
     def model_fn(f0: Array, f1: Array, t) -> Array:
         t = jnp.asarray(t, jnp.float32)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.warp import warp
-from .common import avg_pool2d, conv2d, leaky_relu, resize_bilinear, resize_nearest
+from .common import cast_params, avg_pool2d, conv2d, leaky_relu, resize_bilinear, resize_nearest
 
 Array = jnp.ndarray
 Params = Dict
@@ -209,6 +209,7 @@ def make_model_fn(params: Params, dtype=jnp.float32):
     upsample resizes to the recorded finer-level shape — and the result is
     clamped to [0, 1] (``film/__init__.py:39``).
     """
+    params = cast_params(params, dtype)
 
     @jax.jit
     def model_fn(f0, f1, t):

@@ -20,7 +20,7 @@ from typing import Dict, List
 import jax
 import jax.numpy as jnp
 
-from .common import conv2d, conv3d, conv_transpose3d, leaky_relu
+from .common import cast_params, conv2d, conv3d, conv_transpose3d, leaky_relu
 
 Array = jnp.ndarray
 Params = Dict
@@ -115,6 +115,7 @@ def infer_n_outputs(params: Params) -> int:
 
 def make_model_fn(params: Params, dtype=jnp.float32):
     """Window-4 model callable: (f0, f1, f2, f3) -> mid(f1, f2)."""
+    params = cast_params(params, dtype)
     n_out = infer_n_outputs(params)
 
     @jax.jit

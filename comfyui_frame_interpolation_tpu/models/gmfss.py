@@ -33,6 +33,7 @@ import numpy as np
 from ..ops.softsplat import softsplat
 from ..ops.warp import bilinear_sample, warp
 from .common import (
+    cast_params,
     conv2d,
     conv_transpose2d,
     linear,
@@ -628,6 +629,7 @@ def apply(
 
 
 def make_model_fn(params: Params, union: bool = False, scale: float = 1.0, dtype=jnp.float32):
+    params = cast_params(params, dtype)
     @jax.jit
     def model_fn(f0, f1, t):
         out = apply(
@@ -648,6 +650,7 @@ def make_pair_fns(
     timestep (``gmfss_fortuna/__init__.py:55-78``, called per
     ``return_middle_frame``); semantics are identical since ``reuse`` does not
     depend on the timestep."""
+    params = cast_params(params, dtype)
 
     def _pad(img):
         n, h, w, _ = img.shape

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.warp import warp
-from .common import conv2d, conv_transpose2d, prelu, resize_by_scale
+from .common import cast_params, conv2d, conv_transpose2d, prelu, resize_by_scale
 
 Array = jnp.ndarray
 Params = Dict
@@ -148,6 +148,7 @@ def apply(
 
 
 def make_model_fn(params: Params, variant: str, scale_factor: float = 1.0, dtype=jnp.float32):
+    params = cast_params(params, dtype)
     @jax.jit
     def model_fn(f0, f1, t):
         out = apply(

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ops.warp import warp
 from .common import (
+    cast_params,
     batch_norm,
     conv2d,
     conv_transpose2d,
@@ -346,6 +347,7 @@ def apply(
 def make_model_fn(
     params: Params, scale: float = 1.0, ensemble: bool = False, dtype=jnp.float32
 ):
+    params = cast_params(params, dtype)
     @jax.jit
     def model_fn(f0, f1, t):
         out = apply(

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..ops.costvol import costvol_func
 from ..ops.softsplat import softsplat_func
 from ..ops.warp import warp
-from .common import avg_pool2d, conv2d, conv_transpose2d, prelu, resize_by_scale
+from .common import cast_params, avg_pool2d, conv2d, conv_transpose2d, prelu, resize_by_scale
 
 Array = jnp.ndarray
 Params = Dict
@@ -297,6 +297,7 @@ def apply(params: Params, im0: Array, im1: Array, timestep, ratio: int = 4) -> A
 
 
 def make_model_fn(params: Params, dtype=jnp.float32):
+    params = cast_params(params, dtype)
     @jax.jit
     def model_fn(f0, f1, t):
         out = apply(params, f0.astype(dtype), f1.astype(dtype), t.astype(dtype))

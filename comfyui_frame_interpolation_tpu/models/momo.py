@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.warp import bicubic_sample
-from .common import conv2d, linear, resize_bicubic
+from .common import cast_params, conv2d, linear, resize_bicubic
 
 Array = jnp.ndarray
 Params = Dict
@@ -358,6 +358,7 @@ def make_model_fn(
     params: Params, ckpt_name: str, num_inference_steps: int = 8,
     seed: int = 0, dtype=jnp.float32,
 ):
+    params = cast_params(params, dtype)
     @jax.jit
     def model_fn(f0, f1, t):
         n, h, w, _ = f0.shape

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..ops.warp import warp
 from .common import (
+    cast_params,
     conv2d,
     conv_transpose2d,
     leaky_relu,
@@ -170,6 +171,37 @@ def _warp_pair(img: Array, feat: Array, fl2: Array) -> Tuple[Array, Array]:
     return both[..., :3], both[..., 3:]
 
 
+def _warp_both(img0: Array, img1: Array, flow: Array) -> Tuple[Array, Array]:
+    """Warp img0 by flow[..,:2] and img1 by flow[..,2:4] in ONE kernel call by
+    stacking along the batch axis (exact: images are independent); halves the
+    per-call fixed cost (tier selection, DMA warm-up, dispatch)."""
+    n = img0.shape[0]
+    both = warp(
+        jnp.concatenate([img0, img1], axis=0),
+        jnp.concatenate([flow[..., :2], flow[..., 2:4]], axis=0),
+    )
+    return both[:n], both[n:]
+
+
+def _warp_both_pairs(
+    img0: Array, f0: Array, img1: Array, f1: Array, flow: Array
+) -> Tuple[Array, Array, Array, Array]:
+    """Both directions' (image, features) warps fused into a single call."""
+    n = img0.shape[0]
+    both = warp(
+        jnp.concatenate(
+            [
+                jnp.concatenate([img0[..., :3], f0], axis=-1),
+                jnp.concatenate([img1[..., :3], f1], axis=-1),
+            ],
+            axis=0,
+        ),
+        jnp.concatenate([flow[..., :2], flow[..., 2:4]], axis=0),
+    )
+    w0, w1 = both[:n], both[n:]
+    return w0[..., :3], w0[..., 3:], w1[..., :3], w1[..., 3:]
+
+
 def apply(
     params: Params,
     img0: Array,
@@ -231,14 +263,12 @@ def apply(
             mask = (mask + (-mr)) / 2
 
     if arch_ver in ("4.0", "4.2", "4.3", "4.5", "4.6"):
-        warped0 = warp(img0, flow[..., :2])
-        warped1 = warp(img1, flow[..., 2:4])
+        warped0, warped1 = _warp_both(img0, img1, flow)
         wf0c = wf1c = None
     else:
         # stage 1's feature warp uses this same flow — fuse it into the image
         # warp (exact: warping is per-channel independent).
-        warped0, wf0c = _warp_pair(img0, f0, flow[..., :2])
-        warped1, wf1c = _warp_pair(img1, f1, flow[..., 2:4])
+        warped0, wf0c, warped1, wf1c = _warp_both_pairs(img0, f0, img1, f1, flow)
 
     # ---- stages 1..N -------------------------------------------------------
     def later_stage(i, scales, flow, mask, warped0, warped1, wf0c, wf1c):
@@ -258,8 +288,7 @@ def apply(
                 m0 = (m0 + (-mr)) / 2
             new_flow = flow + fd
             new_mask = mask + m0
-            new_w0 = warp(img0, new_flow[..., :2])
-            new_w1 = warp(img1, new_flow[..., 2:4])
+            new_w0, new_w1 = _warp_both(img0, img1, new_flow)
             return new_flow, new_mask, new_w0, new_w1, None, None
         # 4.7/4.10/4.17: wf0c/wf1c are warp(f{0,1}, flow) computed fused with
         # the previous stage's image warps (same flow).
@@ -274,11 +303,11 @@ def apply(
         new_flow = flow + fd
         want_feats = ensemble or i < 3
         if want_feats:
-            new_w0, wf0n = _warp_pair(img0, f0, new_flow[..., :2])
-            new_w1, wf1n = _warp_pair(img1, f1, new_flow[..., 2:4])
+            new_w0, wf0n, new_w1, wf1n = _warp_both_pairs(
+                img0, f0, img1, f1, new_flow
+            )
         else:  # last stage, no ensemble: features are never consumed again
-            new_w0 = warp(img0, new_flow[..., :2])
-            new_w1 = warp(img1, new_flow[..., 2:4])
+            new_w0, new_w1 = _warp_both(img0, img1, new_flow)
             wf0n = wf1n = None
         if ensemble:
             xr = jnp.concatenate(
@@ -324,8 +353,7 @@ def apply(
                 m0 = (m0 + (-mr)) / 2
             nf = fl + fd
             nm = mk + m0
-            nw0 = warp(img0, nf[..., :2])
-            nw1 = warp(img1, nf[..., 2:4])
+            nw0, nw1 = _warp_both(img0, img1, nf)
             return run_tail(scales, nf, nm, nw0, nw1, 2, None, None)
 
         def normal(_):
@@ -337,8 +365,7 @@ def apply(
             scales2 = [s * 2 for s in scale_list]
             x0b = jnp.concatenate([img0[..., :3], img1[..., :3], tmap], -1)
             fl, mk, _ = _if_block(blocks[0], x0b, None, scales2[0], arch_ver)
-            w0 = warp(img0, fl[..., :2])
-            w1 = warp(img1, fl[..., 2:4])
+            w0, w1 = _warp_both(img0, img1, fl)
             xb = jnp.concatenate([w0[..., :3], w1[..., :3], tmap, mk], -1)
             fdb, m0b, _ = _if_block(blocks[1], xb, fl, scales2[1], arch_ver)
             return finish_stage1(scales2, fl, mk, w0, w1, fdb, m0b)
@@ -374,8 +401,7 @@ def _forward_426(blocks, img0, img1, f0, f1, tmap, scale_list, h, w) -> Array:
     flow, mask, feat = _if_block(blocks[0], x0, None, scale_list[0], "4.26")
     # stage i's feature warp uses the same flow as stage i-1's image warp —
     # fuse them into one 7-plane kernel call (exact; see _warp_pair).
-    warped0, wf0 = _warp_pair(img0, f0, flow[..., :2])
-    warped1, wf1 = _warp_pair(img1, f1, flow[..., 2:4])
+    warped0, wf0, warped1, wf1 = _warp_both_pairs(img0, f0, img1, f1, flow)
     for i in range(1, 5):
         x = jnp.concatenate(
             [warped0[..., :3], warped1[..., :3], wf0, wf1, tmap, mask, feat], -1
@@ -384,11 +410,11 @@ def _forward_426(blocks, img0, img1, f0, f1, tmap, scale_list, h, w) -> Array:
         flow = flow + fd
         mask = m0
         if i < 4:
-            warped0, wf0 = _warp_pair(img0, f0, flow[..., :2])
-            warped1, wf1 = _warp_pair(img1, f1, flow[..., 2:4])
+            warped0, wf0, warped1, wf1 = _warp_both_pairs(
+                img0, f0, img1, f1, flow
+            )
         else:
-            warped0 = warp(img0, flow[..., :2])
-            warped1 = warp(img1, flow[..., 2:4])
+            warped0, warped1 = _warp_both(img0, img1, flow)
     final_mask = jax.nn.sigmoid(mask)
     merged = warped0 * final_mask + warped1 * (1 - final_mask)
     return merged[:, :h, :w, :]
@@ -413,6 +439,9 @@ def make_model_fn(
     if arch_ver == "4.26":
         ensemble = False  # reference rife/__init__.py:123-125
     scale_list = default_scale_list(arch_ver, scale_factor)
+    # cast weights to the compute dtype once (analog of the reference's
+    # model.half() for its fp16 mode, rife/__init__.py:134)
+    params = cast_params(params, dtype)
 
     @jax.jit
     def model_fn(f0, f1, t):

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.sepconv import sepconv_func
-from .common import conv2d, prelu, resize_by_scale
+from .common import cast_params, conv2d, prelu, resize_by_scale
 
 Array = jnp.ndarray
 Params = Dict
@@ -140,6 +140,7 @@ def apply(params: Params, x1: Array, x2: Array, timestep=None) -> Array:
 
 
 def make_model_fn(params: Params, dtype=jnp.float32):
+    params = cast_params(params, dtype)
     @jax.jit
     def model_fn(f0, f1, t):
         return apply(params, f0.astype(dtype), f1.astype(dtype)).astype(jnp.float32)

@@ -32,6 +32,7 @@ from ..ops.correlation import correlation_func
 from ..ops.softsplat import function_softsplat
 from ..ops.warp import bilinear_sample
 from .common import (
+    cast_params,
     batch_norm,
     conv2d,
     conv3d,
@@ -447,6 +448,7 @@ def apply(params: Params, i0: Array, i1: Array, i2: Array, i3: Array) -> Array:
 
 
 def make_model_fn(params: Params, dtype=jnp.float32):
+    params = cast_params(params, dtype)
     @jax.jit
     def model_fn(f0, f1, f2, f3):
         out = apply(

@@ -513,8 +513,13 @@ class GMFSS_Fortuna_VFI:
     CATEGORY = "ComfyUI-Frame-Interpolation/VFI"
 
     _cache: typing.Dict = {}
+    _params_cache: typing.Dict[str, dict] = {}
 
     def _load_params(self, ckpt_name):
+        # memoized per ckpt_name: repeated node executions must reuse the same
+        # tree object (stable id) so the jitted-model cache below hits
+        if ckpt_name in self._params_cache:
+            return self._params_cache[ckpt_name]
         from ..utils.ckpt import load_torch_state_dict, to_jax_tree
 
         from ..utils.download import load_file_from_github_release
@@ -524,7 +529,9 @@ class GMFSS_Fortuna_VFI:
         for key, (model_type, fname) in cfg.items():
             path = load_file_from_github_release(model_type, fname)
             tree[key] = load_torch_state_dict(path)
-        return to_jax_tree(tree)
+        tree = to_jax_tree(tree)
+        self._params_cache[ckpt_name] = tree
+        return tree
 
     def vfi(
         self,

@@ -18,21 +18,25 @@ For each [8, 128] output tile (all C channels of one image together):
      same-shape lane crossbar (``take_along_axis`` axis=1, single vreg) fetches
      the two x-taps — index arithmetic done once, reused for every channel.
 
-Local flow deviation beyond the window is clamped to the window edge — only
-reachable when the flow varies by more than ``WIN_H-17`` px vertically (or
-``127`` px horizontally) *within one 8x128 tile*, i.e. at violent motion
-discontinuities. Exactness vs the XLA path is asserted in tests on smooth and
-sharp flows.
+For a fixed window, local flow deviation beyond it is clamped to the window
+edge. The public entry point :func:`warp_pallas_tiered` therefore computes the
+per-tile source-coordinate spans in an XLA prologue and picks the cheapest
+window that covers EVERY tile — (16, 256) → (32, 384) → (64, 512) → whole-call
+XLA gather — so the result is always bit-exact vs ``ops.warp.warp_xla`` while
+smooth flows (the overwhelmingly common case: RIFE/FILM/GMFSS intermediate
+flows are upsampled from coarse pyramids) pay only for the small window.
+Exactness vs the XLA path is asserted in ``tests/test_pallas_kernels.py``
+(TPU-gated), including flows chosen to land in each tier.
 
-Measured (v5e, 2x1088x1920x3 fp32): ~8-20 ms vs ~110-150 ms for the XLA gather.
-Window geometry note: some (win_h, win_w) combinations — e.g. 16x256, 24x384 —
-hit a Mosaic layout cliff and run 10x slower; 32x384 and 32x256 are fast. Keep
-win_h=32 unless re-benchmarked.
+Measured (v5e, 8x1088x1920x7 bf16 per call): 24 ms at (16, 256), 55 ms at
+(32, 384), vs ~880 ms for the XLA gather. Cost is VPU-bound and scales with
+``win_h * (win_w / 128)``; DMA and weight math are minor.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +49,8 @@ TILE_H = 8
 TILE_W = 128
 DEF_WIN_H = 32
 DEF_WIN_W = 384
+# exactness ladder for warp_pallas_tiered: (win_h, win_w, channel cap)
+TIERS = ((16, 256, 36), (32, 384, 36), (64, 512, 12))
 
 
 def _row_gather(row_chunks, lx, win_w):
@@ -359,6 +365,7 @@ def warp_pallas_planes_v2(
     win_w: int = DEF_WIN_W,
     zeros: bool = False,
     frame_hw: Optional[Tuple[int, int]] = None,
+    bases: Optional[Tuple[Array, Array]] = None,
 ) -> Array:
     b, c, h, w = planes.shape
     # true frame bounds for clamping/validity (the array may be padded)
@@ -368,17 +375,20 @@ def warp_pallas_planes_v2(
     win_w = min(win_w, w)
     gh, gw = h // TILE_H, w // TILE_W
 
-    # per-tile aligned window bases, computed as a cheap XLA reduction
-    y0 = jnp.floor(jnp.clip(
-        jnp.arange(h, dtype=fy.dtype)[None, :, None] + fy, 0.0, hb - 1.0
-    )).astype(jnp.int32)
-    x0 = jnp.floor(jnp.clip(
-        jnp.arange(w, dtype=fx.dtype)[None, None, :] + fx, 0.0, wb - 1.0
-    )).astype(jnp.int32)
-    by = jnp.min(y0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
-    bx = jnp.min(x0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
-    by = jnp.clip((by // TILE_H) * TILE_H, 0, max(h - win_h, 0)).reshape(-1)
-    bx = jnp.clip((bx // TILE_W) * TILE_W, 0, max(w - win_w, 0)).reshape(-1)
+    if bases is not None:
+        by, bx = bases
+    else:
+        # per-tile aligned window bases, computed as a cheap XLA reduction
+        y0 = jnp.floor(jnp.clip(
+            jnp.arange(h, dtype=fy.dtype)[None, :, None] + fy, 0.0, hb - 1.0
+        )).astype(jnp.int32)
+        x0 = jnp.floor(jnp.clip(
+            jnp.arange(w, dtype=fx.dtype)[None, None, :] + fx, 0.0, wb - 1.0
+        )).astype(jnp.int32)
+        by = jnp.min(y0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
+        bx = jnp.min(x0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
+        by = jnp.clip((by // TILE_H) * TILE_H, 0, max(h - win_h, 0)).reshape(-1)
+        bx = jnp.clip((bx // TILE_W) * TILE_W, 0, max(w - win_w, 0)).reshape(-1)
 
     kernel = functools.partial(
         _warp_kernel_v2, h=hb, w=wb, win_h=win_h, win_w=win_w, c=c,
@@ -438,3 +448,155 @@ def warp_pallas_v2(
 # 9.2-10.9 ms for the plain kernel fed bf16 windows: at bf16 the kernel is
 # bandwidth/ALU-bound, not crossbar-bound, so the packing's unpack ALU cost
 # exceeded the crossbar savings and the variant was dropped.
+
+
+# ---------------------------------------------------------------------------
+# Tiered exact dispatch: pick the cheapest window that covers every tile
+# ---------------------------------------------------------------------------
+
+
+def _tile_spans(fx, fy, h, w, hb, wb):
+    """Per-(8,128)-tile min/max of the clamped integer source coordinates.
+
+    Clamping to the frame matches the kernel exactly in border mode; in zeros
+    mode out-of-frame taps carry zero weight, so clamping is span-neutral.
+    Non-finite flows contribute nothing on every path and are treated as zero
+    displacement here so one NaN pixel doesn't inflate its tile's span."""
+    b = fx.shape[0]
+    gh, gw = h // TILE_H, w // TILE_W
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    sx = xs + fx.astype(jnp.float32)
+    sy = ys + fy.astype(jnp.float32)
+    finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+    sx = jnp.where(finite, sx, xs)
+    sy = jnp.where(finite, sy, ys)
+    x0 = jnp.floor(jnp.clip(sx, 0.0, wb - 1.0)).astype(jnp.int32)
+    y0 = jnp.floor(jnp.clip(sy, 0.0, hb - 1.0)).astype(jnp.int32)
+    x0 = x0.reshape(b, gh, TILE_H, gw, TILE_W)
+    y0 = y0.reshape(b, gh, TILE_H, gw, TILE_W)
+    return (
+        jnp.min(y0, axis=(2, 4)), jnp.max(y0, axis=(2, 4)),
+        jnp.min(x0, axis=(2, 4)), jnp.max(x0, axis=(2, 4)),
+    )
+
+
+def _bases_fits(spans, wh, ww, h, w, hb, wb):
+    """Aligned window bases + whether (wh, ww) covers every tile.
+
+    The second tap (``y0+1`` / ``x0+1``) carries zero weight when it falls
+    beyond the frame, so the needed extent clamps to ``hb-1`` / ``wb-1``."""
+    ymin, ymax, xmin, xmax = spans
+    wh = min(wh, h)
+    ww = min(ww, w)
+    by = jnp.clip((ymin // TILE_H) * TILE_H, 0, max(h - wh, 0))
+    bx = jnp.clip((xmin // TILE_W) * TILE_W, 0, max(w - ww, 0))
+    need_y = jnp.minimum(ymax + 1, hb - 1)
+    need_x = jnp.minimum(xmax + 1, wb - 1)
+    fits = jnp.all((need_y - by <= wh - 1) & (need_x - bx <= ww - 1))
+    return by.reshape(-1), bx.reshape(-1), fits
+
+
+def _xla_fallback_planes(planes, fx, fy, hb, wb, zeros):
+    """Exact whole-call gather for flows beyond every tier. Channel-chunked:
+    the 4-tap gather materializes f32 temporaries per tap, which at full
+    resolution and wide C would blow HBM inside this rarely-taken branch."""
+    from ..warp import bilinear_sample
+
+    b, c, h, w = planes.shape
+    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    gx = jnp.broadcast_to(xs[None, None, :], (b, h, w)) + fx.astype(jnp.float32)
+    gy = jnp.broadcast_to(ys[None, :, None], (b, h, w)) + fy.astype(jnp.float32)
+    if not zeros:
+        gx = jnp.clip(gx, 0.0, wb - 1.0)
+        gy = jnp.clip(gy, 0.0, hb - 1.0)
+    mode = "zeros" if zeros else "border"
+    outs = []
+    for c0 in range(0, c, 4):
+        img = planes[:, c0 : c0 + 4, :hb, :wb].transpose(0, 2, 3, 1)
+        res = bilinear_sample(img, gx[:, :hb, :wb], gy[:, :hb, :wb], mode)
+        res = res.transpose(0, 3, 1, 2)
+        res = jnp.pad(
+            res, ((0, 0), (0, 0), (0, h - hb), (0, w - wb))
+        )
+        outs.append(res)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out.astype(planes.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("zeros", "frame_hw"))
+def warp_pallas_planes_tiered(
+    planes: Array,  # [B, C, H, W]
+    fx: Array,
+    fy: Array,
+    zeros: bool = False,
+    frame_hw: Optional[Tuple[int, int]] = None,
+) -> Array:
+    """Always-exact warp: run the cheapest kernel window that covers every
+    tile's source span, falling back to the XLA gather for pathological flows
+    (local variation beyond ~±48 rows / ±380 cols within one 8x128 tile)."""
+    b, c, h, w = planes.shape
+    hb, wb = frame_hw or (h, w)
+    spans = _tile_spans(fx, fy, h, w, hb, wb)
+
+    def run_tier(wh, ww, cap, by, bx):
+        # zeros-mode validity masks add register pressure; lower the channel
+        # cap so the fully-unrolled kernel body doesn't blow scoped VMEM
+        cap = min(cap, {16: 24, 32: 24, 64: 8}[wh] if zeros else cap)
+        if c <= cap:
+            return warp_pallas_planes_v2(
+                planes, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
+                frame_hw=(hb, wb), bases=(by, bx),
+            )
+        parts = [
+            warp_pallas_planes_v2(
+                planes[:, i : i + cap], fx, fy, win_h=wh, win_w=ww,
+                zeros=zeros, frame_hw=(hb, wb), bases=(by, bx),
+            )
+            for i in range(0, c, cap)
+        ]
+        return jnp.concatenate(parts, axis=1)
+
+    ladder = []
+    for wh, ww, cap in TIERS:
+        by, bx, fits = _bases_fits(spans, wh, ww, h, w, hb, wb)
+        ladder.append((wh, ww, cap, by, bx, fits))
+        if wh >= h and ww >= w:
+            break  # this window sees the whole image: unconditional cover
+
+    def make(i):
+        if i == len(ladder):
+            return lambda _: _xla_fallback_planes(planes, fx, fy, hb, wb, zeros)
+        wh, ww, cap, by, bx, fits = ladder[i]
+        if wh >= h and ww >= w:
+            return lambda _: run_tier(wh, ww, cap, by, bx)
+
+        def step(_):
+            return jax.lax.cond(
+                fits,
+                lambda __: run_tier(wh, ww, cap, by, bx),
+                make(i + 1),
+                None,
+            )
+
+        return step
+
+    return make(0)(None)
+
+
+def warp_pallas_tiered(img: Array, flow: Array, zeros: bool = False) -> Array:
+    """NHWC warp (border or zeros padding), always exact vs ``warp_xla``."""
+    b, h, w, c = img.shape
+    ph = -h % TILE_H
+    pw = -w % TILE_W
+    if ph or pw or w < TILE_W:
+        pw = max(pw, TILE_W - w)
+        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    planes = img.transpose(0, 3, 1, 2)
+    out = warp_pallas_planes_tiered(
+        planes, flow[..., 0], flow[..., 1], zeros=zeros, frame_hw=(h, w)
+    )
+    out = out.transpose(0, 2, 3, 1)
+    return out[:, :h, :w, :]

@@ -156,26 +156,13 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
         and w >= 128
         and h * w >= 128 * 128
     ):
-        from .pallas.warp_kernel import warp_pallas_v2
+        from .pallas.warp_kernel import warp_pallas_tiered
 
-        zeros = padding_mode == "zeros"
-        # The kernel fully unrolls the channel loop; too many channels blow
-        # the scoped-VMEM stack (C=36 border fine; C=32 zeros-mode OOMs —
-        # the validity masks add register pressure). Warping is per-channel
-        # independent, so wide features are split into chunks.
-        c = img.shape[-1]
-        cap = 24 if zeros else 36
-        if c <= cap:
-            return warp_pallas_v2(img, flow, zeros=zeros)
-        # wide features: chunk the channel dim (a batch-folded single-call
-        # variant was measured slower and HBM-heavier — the reorder copies
-        # outweigh the saved per-call overhead)
-        step = 16 if zeros else 32
-        parts = [
-            warp_pallas_v2(img[..., i : i + step], flow, zeros=zeros)
-            for i in range(0, c, step)
-        ]
-        return jnp.concatenate(parts, axis=-1)
+        # always-exact tiered dispatch: smooth flows run the small cheap
+        # window, larger local variation climbs the ladder, pathological
+        # flows fall back to the XLA gather (see warp_kernel.py); channel
+        # chunking beyond the per-tier VMEM caps is handled inside
+        return warp_pallas_tiered(img, flow, zeros=padding_mode == "zeros")
     return warp_xla(img, flow, padding_mode)
 
 

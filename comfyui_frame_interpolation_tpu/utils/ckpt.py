@@ -84,10 +84,34 @@ def to_jax_tree(tree: Dict, dtype=None) -> Dict:
     return out
 
 
+def is_torchscript_archive(path: str) -> bool:
+    """True if ``path`` is a TorchScript zip archive (e.g. FILM's
+    ``film_net_fp32.pt``, loaded upstream via ``torch.jit.load`` —
+    reference ``film/__init__.py:74``) rather than a plain torch pickle.
+
+    TorchScript archives are zip files containing a ``constants.pkl`` member;
+    plain ``torch.save`` zips contain ``data.pkl`` instead."""
+    import zipfile
+
+    if not zipfile.is_zipfile(path):
+        return False
+    try:
+        with zipfile.ZipFile(path) as zf:
+            return any(name.endswith("constants.pkl") for name in zf.namelist())
+    except Exception:
+        return False
+
+
 def load_torch_state_dict(path: str, nested_keys=("state_dict", "model_state_dict", "model")) -> Dict:
-    """Load a torch pickle and return the (un-nested, un-prefixed) state dict."""
+    """Load a torch pickle OR TorchScript archive and return the (un-nested,
+    un-prefixed) state dict as a nested numpy tree."""
     import torch
 
+    if is_torchscript_archive(path):
+        # TorchScript archive (FILM): torch.load would hand back a
+        # RecursiveScriptModule whose .items() crashes; route through jit.load
+        module = torch.jit.load(path, map_location="cpu")
+        return nest_state_dict(module.state_dict())
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         for k in nested_keys:

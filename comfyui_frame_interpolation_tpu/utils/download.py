@@ -88,6 +88,12 @@ def load_file_from_direct_url(model_type: str, url: str) -> str:
     return _download(url, dest)
 
 
+# in-memory parameter-tree cache keyed by (model_type, ckpt_name): node
+# executions must reuse the SAME tree object so the nodes' id(params)-keyed
+# model-fn caches hit instead of re-loading + re-jitting every run
+_params_memcache: Dict[tuple, object] = {}
+
+
 def get_converted_params(
     model_type: str,
     ckpt_name: str,
@@ -96,13 +102,20 @@ def get_converted_params(
 ):
     """Return the JAX parameter tree for a checkpoint, converting and caching
     as ``.npz`` on first use. ``convert`` post-processes the nested state dict
-    (e.g. stripping buffers); defaults to identity."""
+    (e.g. stripping buffers); defaults to identity. Repeated calls return the
+    same in-memory tree (stable ``id``), so downstream jitted-model caches key
+    on it safely."""
     from .ckpt import load_npz, load_torch_state_dict, save_npz, to_jax_tree
 
+    memkey = (model_type, ckpt_name)
+    if memkey in _params_memcache:
+        return _params_memcache[memkey]
     dest = get_ckpt_container_path(model_type)
     npz_path = os.path.join(dest, ckpt_name + ".npz")
     if os.path.exists(npz_path):
-        return to_jax_tree(load_npz(npz_path))
+        tree = to_jax_tree(load_npz(npz_path))
+        _params_memcache[memkey] = tree
+        return tree
     if url is not None:
         pth_path = load_file_from_direct_url(model_type, url)
     else:
@@ -111,4 +124,6 @@ def get_converted_params(
     if convert is not None:
         tree = convert(tree)
     save_npz(tree, npz_path)
-    return to_jax_tree(tree)
+    tree = to_jax_tree(tree)
+    _params_memcache[memkey] = tree
+    return tree

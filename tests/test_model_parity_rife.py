@@ -16,7 +16,10 @@ from conftest import has_reference, load_reference_module
 from comfyui_frame_interpolation_tpu.models import rife
 from comfyui_frame_interpolation_tpu.utils.ckpt import nest_state_dict, to_jax_tree
 
-pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not has_reference(), reason="reference not mounted"),
+]
 
 
 @pytest.fixture(scope="module")
