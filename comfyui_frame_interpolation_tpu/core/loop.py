@@ -8,27 +8,39 @@ single jitted call with a real batch dimension and a per-task timestep vector â€
 pattern RIFE's node loop approximates in Python (``rife/__init__.py:185-222``), done
 properly with one XLA program.
 
-Frames stay device-resident for the whole plan (the BASELINE "HBM-resident frame
-window" north star); nothing round-trips through the host between tasks. The last
-chunk of every level is padded up to ``batch_size`` by repeating its first task so a
-plan compiles exactly one program per (level-width bucket, frame shape).
+For clips that fit, frames stay device-resident for the whole plan (the BASELINE
+"HBM-resident frame window" north star); nothing round-trips through the host
+between tasks. For long clips â€” where holding every input *and* output in HBM would
+OOM â€” ``run_plan`` automatically switches to a **streaming** mode mirroring the
+reference's memory discipline (CPU-preallocated output + bounded device residency,
+``vfi_utils.py:173,205-216,293-300``) but batched: inputs live on the host, a
+bounded LRU window of originals is device-resident, produced frames are copied back
+asynchronously as soon as their last consumer has run. The budget comes from
+``hbm_budget_bytes`` (default: env ``CFI_HBM_BUDGET_GB`` or 12 GB).
 
 ``clear_cache_after_n_frames`` from the reference API is accepted by the node layer
-and ignored: XLA owns allocation, and the executor holds no per-pair Python garbage.
+for schema parity; allocation itself is owned by XLA, and the streaming window is
+sized from the HBM budget rather than a flush cadence.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .schedule import Plan, Source, Task
 
 Array = jnp.ndarray
 
 __all__ = ["run_plan", "run_plan_pair_cached", "run_plan_window4"]
+
+
+def _default_hbm_budget() -> int:
+    return int(float(os.environ.get("CFI_HBM_BUDGET_GB", "12")) * 2**30)
 
 
 def _gather(
@@ -61,6 +73,7 @@ def run_plan(
     model_fn: Callable[[Array, Array, Array], Array],
     batch_size: int = 8,
     out_dtype=None,
+    hbm_budget_bytes: Optional[int] = None,
 ) -> Array:
     """Execute ``plan`` over NHWC ``frames`` with a batched model.
 
@@ -70,8 +83,24 @@ def run_plan(
     executor guarantees a fixed batch shape so at most ``ceil(max_level/B)`` distinct
     widths are seen, all equal to ``batch_size``.
 
-    Returns the assembled ``[n_outputs, H, W, C]`` frame sequence.
+    Long clips whose inputs + outputs would exceed ``hbm_budget_bytes`` are executed
+    in streaming mode (host-resident frames, bounded device window, outputs
+    assembled on the host) with identical results â€” see :func:`_run_plan_streaming`.
+
+    Returns the assembled ``[n_outputs, H, W, C]`` frame sequence (a device array in
+    resident mode, a host numpy array in streaming mode).
     """
+    budget = hbm_budget_bytes or _default_hbm_budget()
+    n, h, w, c = frames.shape
+    frame_bytes = h * w * c * 4
+    resident_estimate = (n + len(plan.output) + 4 * batch_size) * frame_bytes
+    if resident_estimate > budget:
+        return _run_plan_streaming(
+            np.asarray(frames), plan, model_fn, batch_size, out_dtype,
+            max_resident=max(
+                2 * batch_size + 2, budget // (4 * frame_bytes)
+            ),
+        )
     frames = jnp.asarray(frames)
     produced: Dict[int, Array] = {}
 
@@ -94,6 +123,117 @@ def run_plan(
     out = _gather(frames, produced, plan.output)
     if out_dtype is not None:
         out = out.astype(out_dtype)
+    return out
+
+
+def _run_plan_streaming(
+    frames_np: np.ndarray,
+    plan: Plan,
+    model_fn: Callable[[Array, Array, Array], Array],
+    batch_size: int,
+    out_dtype,
+    max_resident: int,
+) -> np.ndarray:
+    """Bounded-HBM plan execution for long clips.
+
+    Mirrors the reference's long-clip memory story (CPU-preallocated output,
+    one device window at a time, ``vfi_utils.py:173,205-216``) with batching
+    kept intact: inputs stay in host memory; originals are device-put on demand
+    into an LRU cache of at most ``max_resident`` frames; each produced frame
+    starts an async deviceâ†’host copy immediately and its device buffer is
+    dropped once its last consuming task has run (recursive/bisection plans) â€”
+    so device residency is O(window), not O(clip). Results are bit-identical to
+    the resident path: chunking, padding and batch shapes are the same, so the
+    same jitted ``model_fn`` executable is reused.
+    """
+    # remaining-consumer counts for produced frames (inter-level edges)
+    consumers: Dict[int, int] = {}
+    for task in plan.tasks:
+        for kind, idx in (task.src0, task.src1):
+            if kind == "task":
+                consumers[idx] = consumers.get(idx, 0) + 1
+
+    dev_produced: Dict[int, Array] = {}  # still needed by later tasks
+    host_produced: Dict[int, np.ndarray] = {}
+    in_flight: List = []  # (task_id, device_array) with async D2H started
+
+    orig_cache: Dict[int, Array] = {}
+    orig_lru: List[int] = []
+
+    def get_orig(idx: int) -> Array:
+        if idx in orig_cache:
+            orig_lru.remove(idx)
+            orig_lru.append(idx)
+            return orig_cache[idx]
+        arr = jax.device_put(frames_np[idx])
+        orig_cache[idx] = arr
+        orig_lru.append(idx)
+        while len(orig_cache) > max_resident:
+            del orig_cache[orig_lru.pop(0)]
+        return arr
+
+    def get_src(src: Source) -> Array:
+        kind, idx = src
+        if kind == "orig":
+            return get_orig(idx)
+        if idx in dev_produced:
+            return dev_produced[idx]
+        # consumer ran after the buffer was retired (shouldn't happen with
+        # correct counts, but stay correct): re-upload the host copy
+        return jax.device_put(_materialize(idx))
+
+    def _materialize(task_id: int) -> np.ndarray:
+        if task_id not in host_produced:
+            for i, (tid, arr) in enumerate(in_flight):
+                if tid == task_id:
+                    host_produced[tid] = np.asarray(arr)
+                    in_flight.pop(i)
+                    break
+        return host_produced[task_id]
+
+    def flush_in_flight(keep_last: int) -> None:
+        while len(in_flight) > keep_last:
+            tid, arr = in_flight.pop(0)
+            host_produced[tid] = np.asarray(arr)
+
+    for level in plan.levels:
+        for start in range(0, len(level), batch_size):
+            chunk: List[Task] = level[start : start + batch_size]
+            n = len(chunk)
+            pad = batch_size - n
+            src0 = [t.src0 for t in chunk] + [chunk[0].src0] * pad
+            src1 = [t.src1 for t in chunk] + [chunk[0].src1] * pad
+            ts = [t.t if t.t is not None else 0.5 for t in chunk]
+            ts += [ts[0]] * pad
+            f0 = jnp.stack([get_src(s) for s in src0])
+            f1 = jnp.stack([get_src(s) for s in src1])
+            tvec = jnp.asarray(ts, dtype=f0.dtype)
+            mids = model_fn(f0, f1, tvec)
+            for i, task in enumerate(chunk):
+                m = mids[i]
+                try:
+                    m.copy_to_host_async()
+                except AttributeError:
+                    pass
+                in_flight.append((task.id, m))
+                if consumers.get(task.id, 0) > 0:
+                    dev_produced[task.id] = m
+            # release device buffers whose consumers have all run
+            for task in chunk:
+                for kind, idx in (task.src0, task.src1):
+                    if kind == "task":
+                        consumers[idx] -= 1
+                        if consumers[idx] == 0:
+                            dev_produced.pop(idx, None)
+            # keep one chunk of D2H copies in flight for overlap
+            flush_in_flight(keep_last=batch_size)
+
+    flush_in_flight(keep_last=0)
+
+    np_dtype = np.dtype(out_dtype) if out_dtype is not None else frames_np.dtype
+    out = np.empty((len(plan.output),) + frames_np.shape[1:], np_dtype)
+    for i, (kind, idx) in enumerate(plan.output):
+        out[i] = frames_np[idx] if kind == "orig" else host_produced[idx]
     return out
 
 

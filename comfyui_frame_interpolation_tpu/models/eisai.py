@@ -741,3 +741,33 @@ def make_model_fn(params: Params, dtype=jnp.float32):
         return out.astype(f0.dtype)
 
     return model_fn
+
+
+def make_pair_fns(params: Params, dtype=jnp.float32, iters: int = 12):
+    """Per-pair reuse split for ``run_plan_pair_cached``: the two 12-iteration
+    RAFT flow computations (the dominant cost) run once per pair; only
+    SoftsplatLite + DTM re-run per timestep. The reference recomputes the
+    flows for every timestep (``eisai/__init__.py`` drives ``forward`` per t)."""
+    params = cast_params(params, dtype)
+
+    @jax.jit
+    def reuse_fn(f0, f1):
+        img0 = f0.astype(dtype)
+        img1 = f1.astype(dtype)
+        return (
+            raft_flow(params["raft"], img0, img1, iters=iters),
+            raft_flow(params["raft"], img1, img0, iters=iters),
+        )
+
+    @jax.jit
+    def infer_fn(f0, f1, cache, t):
+        flow0, flow1 = cache
+        tt = jnp.asarray(t, jnp.float32).reshape(-1, 1, 1, 1)
+        out_ssl, locs = ssl_forward(
+            params["ssl"], f0.astype(dtype), f1.astype(dtype), flow0, flow1,
+            t=tt,
+        )
+        out = dtm_forward(params["dtm"], out_ssl, locs)[..., :3]
+        return out.astype(jnp.float32)
+
+    return reuse_fn, infer_fn

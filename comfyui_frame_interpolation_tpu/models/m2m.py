@@ -196,8 +196,12 @@ def _encdec(p: Params, flow0, flow1, im0, im1, c0, c1):
     return r0, r1, jnp.tile(m0, (1, 1, 1, BRANCH)), jnp.tile(m1, (1, 1, 1, BRANCH))
 
 
-def apply(params: Params, im0: Array, im1: Array, timestep, ratio: int = 4) -> Array:
-    """``M2M_PWC.forward`` (M2M_arch.py:894-1037) for a single timestep."""
+def pair_reuse(params: Params, im0: Array, im1: Array, ratio: int = 4):
+    """Timestep-independent per-pair state (flow pyramid, MotionRefineNet
+    branches, photometric metrics) — everything in ``M2M_PWC.forward`` up to
+    the per-timestep splat. The reference recomputes all of it for every
+    timestep (M2M_arch.py:939-1027 driven per-t by ``m2m/__init__.py:48-52``);
+    sharing it across a pair's timesteps is exact since none of it reads t."""
     n, h, w, _ = im0.shape
     align = ratio * 16
     padr = (-w) % align
@@ -233,9 +237,6 @@ def apply(params: Params, im0: Array, im1: Array, timestep, ratio: int = 4) -> A
     bwd = jnp.tile(bwd, (1, 1, 1, BRANCH)) + r1
 
     hp, wp = im0_o.shape[1], im0_o.shape[2]
-    t = jnp.broadcast_to(
-        jnp.asarray(timestep, im0.dtype).reshape(-1, 1, 1, 1), (n, 1, 1, 1)
-    )
 
     # flatten branch dim into batch: [n*branch, hp, wp, .]
     def split_branch(x, ch):
@@ -250,7 +251,6 @@ def apply(params: Params, im0: Array, im1: Array, timestep, ratio: int = 4) -> A
     wb_b = split_branch(wei_b, 1)
     im0_b = jnp.tile(im0_o[:, None], (1, BRANCH, 1, 1, 1)).reshape(n * BRANCH, hp, wp, 3)
     im1_b = jnp.tile(im1_o[:, None], (1, BRANCH, 1, 1, 1)).reshape(n * BRANCH, hp, wp, 3)
-    t_b = jnp.tile(t[:, None], (1, BRANCH, 1, 1, 1)).reshape(n * BRANCH, 1, 1, 1)
 
     photo0 = jnp.square(jnp.clip(
         1.0 - wf_b * jnp.mean(jnp.abs(im0_b - _backwarp(im1_b, fwd_b)), -1, keepdims=True),
@@ -264,6 +264,31 @@ def apply(params: Params, im0: Array, im1: Array, timestep, ratio: int = 4) -> A
     alpha = params["paramAlpha"].reshape(1, 1, 1, 1)
     metric0 = alpha * photo0
     metric1 = alpha * photo1
+    return {
+        "im0_o": im0_o, "im1_o": im1_o, "im0_b": im0_b, "im1_b": im1_b,
+        "fwd_b": fwd_b, "bwd_b": bwd_b,
+        "metric0": metric0, "metric1": metric1,
+        "mean": mean_, "std": std_,
+    }
+
+
+def pair_infer(
+    params: Params, cache, timestep, orig_hw, ratio: int = 4
+) -> Array:
+    """Per-timestep splat + merge (M2M_arch.py:551-581,1029-1035) from cached
+    pair state."""
+    h, w = orig_hw
+    im0_o, im1_o = cache["im0_o"], cache["im1_o"]
+    im0_b, im1_b = cache["im0_b"], cache["im1_b"]
+    fwd_b, bwd_b = cache["fwd_b"], cache["bwd_b"]
+    metric0, metric1 = cache["metric0"], cache["metric1"]
+    mean_, std_ = cache["mean"], cache["std"]
+    n, hp, wp, _ = im0_o.shape
+
+    t = jnp.broadcast_to(
+        jnp.asarray(timestep, im0_o.dtype).reshape(-1, 1, 1, 1), (n, 1, 1, 1)
+    )
+    t_b = jnp.tile(t[:, None], (1, BRANCH, 1, 1, 1)).reshape(n * BRANCH, 1, 1, 1)
     flow0 = fwd_b * t_b
     flow1 = bwd_b * (1.0 - t_b)
     t0w = 1.0 - t_b  # td for the forward direction (t1 in the reference)
@@ -296,6 +321,13 @@ def apply(params: Params, im0: Array, im1: Array, timestep, ratio: int = 4) -> A
     return result[:, :h, :w, :]
 
 
+def apply(params: Params, im0: Array, im1: Array, timestep, ratio: int = 4) -> Array:
+    """``M2M_PWC.forward`` (M2M_arch.py:894-1037) for a single timestep."""
+    h, w = im0.shape[1], im0.shape[2]
+    cache = pair_reuse(params, im0, im1, ratio)
+    return pair_infer(params, cache, timestep, (h, w), ratio)
+
+
 def make_model_fn(params: Params, dtype=jnp.float32):
     params = cast_params(params, dtype)
     @jax.jit
@@ -304,3 +336,22 @@ def make_model_fn(params: Params, dtype=jnp.float32):
         return out.astype(jnp.float32)
 
     return model_fn
+
+
+def make_pair_fns(params: Params, dtype=jnp.float32):
+    """Per-pair reuse split for ``run_plan_pair_cached``: the PWC flow pyramid,
+    MotionRefineNet branches and photometric metrics run once per pair instead
+    of once per timestep (the reference recomputes them per t)."""
+    params = cast_params(params, dtype)
+
+    @jax.jit
+    def reuse_fn(f0, f1):
+        return pair_reuse(params, f0.astype(dtype), f1.astype(dtype))
+
+    @jax.jit
+    def infer_fn(f0, f1, cache, t):
+        h, w = f0.shape[1], f0.shape[2]
+        out = pair_infer(params, cache, t.astype(dtype), (h, w))
+        return out.astype(jnp.float32)
+
+    return reuse_fn, infer_fn

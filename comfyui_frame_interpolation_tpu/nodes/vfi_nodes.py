@@ -194,9 +194,14 @@ class M2M_VFI:
             params = get_converted_params("m2m", ckpt_name)
         key = id(params)
         if key not in self._cache:
-            self._cache[key] = m2m_model.make_model_fn(params)
+            self._cache[key] = m2m_model.make_pair_fns(params)
+        reuse_fn, infer_fn = self._cache[key]
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
-        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        # per-pair reuse: PWC flow pyramid + MotionRefineNet run once per pair
+        # instead of once per timestep (reference recomputes per t)
+        out = run_plan_pair_cached(
+            frames, plan, reuse_fn, infer_fn, batch_size=batch_size
+        )
         return (postprocess_frames(out),)
 
 
@@ -743,9 +748,14 @@ class EISAI_VFI:
             }
         key = (id(params.get("ssl")),)
         if key not in self._cache:
-            self._cache[key] = eisai_model.make_model_fn(params)
+            self._cache[key] = eisai_model.make_pair_fns(params)
+        reuse_fn, infer_fn = self._cache[key]
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
-        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        # per-pair reuse: the two 12-iteration RAFT flow passes run once per
+        # pair; only SoftsplatLite+DTM re-run per timestep
+        out = run_plan_pair_cached(
+            frames, plan, reuse_fn, infer_fn, batch_size=batch_size
+        )
         return (postprocess_frames(out),)
 
 class XVFI_VFI:

@@ -1,20 +1,27 @@
 """Test configuration: run everything on CPU with 8 virtual devices so sharding
-tests exercise a real Mesh without TPU hardware. Must run before jax imports."""
+tests exercise a real Mesh without TPU hardware. Must run before jax imports.
+
+Set ``CFI_TEST_TPU=1`` to keep the real TPU visible instead — used by
+``tests/test_pallas_kernels.py`` (TPU-gated kernel exactness tests)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_USE_TPU = os.environ.get("CFI_TEST_TPU") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # The environment's sitecustomize registers the axon TPU plugin and pins
 # jax_platforms before any test code runs; force CPU after the fact.
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 

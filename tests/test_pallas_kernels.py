@@ -1,0 +1,220 @@
+"""TPU-gated exactness tests for the Pallas kernels.
+
+Run with::
+
+    CFI_TEST_TPU=1 python -m pytest tests/test_pallas_kernels.py -m tpu -q
+
+Under the default (CPU-pinned) test configuration every test here skips; on a
+real TPU they assert bit-exactness (or the documented bounded error) of
+
+* ``warp_pallas_tiered`` vs ``warp_xla`` — border and zeros padding, flows
+  chosen to land in each tier of the exactness ladder (16x256 / 32x384 /
+  64x512 / whole-call XLA fallback), odd shapes, channel counts beyond the
+  per-tier VMEM caps;
+* ``softsplat_pallas`` vs ``_softsplat_xla`` — in-window flows, the window
+  contract edges, non-finite flows, and the dispatcher's guard→fallback
+  equivalence for out-of-window flows.
+
+Known semantic difference (documented, not a bug): at pixels whose flow is
+non-finite the XLA warp propagates NaN (matching torch ``grid_sample``) while
+the kernel's zeros path emits 0. Tests mask those pixels out.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        os.environ.get("CFI_TEST_TPU") != "1"
+        or jax.default_backend() in ("cpu", "gpu"),
+        reason="needs a real TPU (set CFI_TEST_TPU=1)",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+def _smooth_flow(b, h, w, amp, scale=200.0):
+    gy, gx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            amp * np.sin(gx / scale) + 0.5 * amp * np.cos(gy / scale),
+            -amp * np.cos(gx / scale) + 0.4 * amp * np.sin(gy / scale),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return jnp.asarray(np.broadcast_to(base, (b, h, w, 2)).copy())
+
+
+def _assert_warp_exact(img, flow, zeros, atol=0.0):
+    from comfyui_frame_interpolation_tpu.ops.pallas.warp_kernel import (
+        warp_pallas_tiered,
+    )
+    from comfyui_frame_interpolation_tpu.ops.warp import warp_xla
+
+    mode = "zeros" if zeros else "border"
+    ref = np.asarray(warp_xla(img, flow, padding_mode=mode).astype(jnp.float32))
+    out = np.asarray(
+        warp_pallas_tiered(img, flow, zeros=zeros).astype(jnp.float32)
+    )
+    np.testing.assert_allclose(out, ref, atol=atol, rtol=0)
+
+
+class TestWarpTiered:
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_tier0_smooth(self, rng, zeros):
+        img = jnp.asarray(rng.standard_normal((2, 256, 512, 7)), jnp.bfloat16)
+        flow = _smooth_flow(2, 256, 512, amp=0.4)  # near-constant: tier 0
+        _assert_warp_exact(img, flow, zeros)
+
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_tier1_moderate_variation(self, rng, zeros):
+        img = jnp.asarray(rng.standard_normal((2, 256, 512, 7)), jnp.bfloat16)
+        flow = _smooth_flow(2, 256, 512, amp=20.0, scale=60.0)
+        _assert_warp_exact(img, flow, zeros)
+
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_tier2_discontinuity(self, rng, zeros):
+        img = jnp.asarray(rng.standard_normal((2, 256, 512, 3)), jnp.bfloat16)
+        disc = np.zeros((2, 256, 512, 2), np.float32)
+        disc[:, :, :256] = [120.0, 30.0]
+        disc[:, :, 256:] = [-120.0, -30.0]
+        _assert_warp_exact(img, jnp.asarray(disc), zeros)
+
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_fallback_extreme(self, rng, zeros):
+        img = jnp.asarray(rng.standard_normal((2, 256, 512, 3)), jnp.bfloat16)
+        flow = jnp.asarray(
+            rng.standard_normal((2, 256, 512, 2)) * 400.0, jnp.float32
+        )
+        _assert_warp_exact(img, flow, zeros)
+
+    def test_large_constant_offset_stays_cheap_tier(self, rng):
+        # any constant offset is absorbed by the per-tile window bases
+        img = jnp.asarray(rng.standard_normal((1, 256, 512, 3)), jnp.bfloat16)
+        flow = _smooth_flow(1, 256, 512, amp=0.3) + jnp.asarray(
+            [[[[300.0, -150.0]]]], jnp.float32
+        )
+        _assert_warp_exact(img, flow, False)
+
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_odd_shapes(self, rng, zeros):
+        img = jnp.asarray(rng.standard_normal((1, 137, 261, 5)), jnp.float32)
+        flow = jnp.asarray(
+            rng.standard_normal((1, 137, 261, 2)) * 3.0, jnp.float32
+        )
+        _assert_warp_exact(img, flow, zeros)
+
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_wide_channels_chunked(self, rng, zeros):
+        # beyond the per-tier channel caps: exercises in-tier chunking
+        img = jnp.asarray(rng.standard_normal((1, 256, 512, 40)), jnp.bfloat16)
+        flow = jnp.asarray(
+            rng.standard_normal((1, 256, 512, 2)) * 4.0, jnp.float32
+        )
+        _assert_warp_exact(img, flow, zeros)
+
+    def test_nonfinite_flow_zeros_contributes_nothing(self, rng):
+        from comfyui_frame_interpolation_tpu.ops.pallas.warp_kernel import (
+            warp_pallas_tiered,
+        )
+        from comfyui_frame_interpolation_tpu.ops.warp import warp_xla
+
+        img = jnp.asarray(rng.standard_normal((1, 256, 512, 3)), jnp.bfloat16)
+        f = np.asarray(_smooth_flow(1, 256, 512, amp=2.0))
+        bad = np.zeros((256, 512), bool)
+        bad[10, 10] = bad[100, 300] = True
+        f[0, bad] = np.nan
+        flow = jnp.asarray(f)
+        out = np.asarray(
+            warp_pallas_tiered(img, flow, zeros=True).astype(jnp.float32)
+        )
+        ref = np.asarray(
+            warp_xla(img, flow, padding_mode="zeros").astype(jnp.float32)
+        )
+        # kernel: non-finite pixels contribute 0; finite pixels bit-exact
+        assert np.all(out[0, bad] == 0.0)
+        np.testing.assert_array_equal(out[0, ~bad], ref[0, ~bad])
+
+    def test_dispatch_warp_uses_kernel(self, rng):
+        # the public ops.warp entry point must route TPU-sized images through
+        # the kernel and stay exact
+        from comfyui_frame_interpolation_tpu.ops.warp import warp, warp_xla
+
+        img = jnp.asarray(rng.standard_normal((2, 544, 960, 7)), jnp.bfloat16)
+        flow = _smooth_flow(2, 544, 960, amp=6.0)
+        ref = np.asarray(warp_xla(img, flow).astype(jnp.float32))
+        out = np.asarray(warp(img, flow).astype(jnp.float32))
+        np.testing.assert_array_equal(out, ref)
+
+
+class TestSoftsplatPallas:
+    def _ref(self, vals, flow):
+        from comfyui_frame_interpolation_tpu.ops.softsplat import _softsplat_xla
+
+        return np.asarray(_softsplat_xla(vals, flow))
+
+    def test_in_window_exact(self, rng):
+        from comfyui_frame_interpolation_tpu.ops.pallas.softsplat_kernel import (
+            softsplat_pallas,
+        )
+
+        vals = jnp.asarray(rng.random((2, 256, 512, 4)), jnp.float32)
+        flow = _smooth_flow(2, 256, 512, amp=8.0)
+        out = np.asarray(softsplat_pallas(vals, flow))
+        ref = self._ref(vals, flow)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+    def test_window_contract_edges(self, rng):
+        from comfyui_frame_interpolation_tpu.ops.pallas.softsplat_kernel import (
+            DEF_OFF_X, DEF_OFF_Y, DEF_WIN_H, DEF_WIN_W, softsplat_pallas,
+        )
+
+        vals = jnp.asarray(rng.random((1, 256, 512, 2)), jnp.float32)
+        # constant flow exactly at the documented inclusive corners
+        lo = (-(DEF_WIN_W - DEF_OFF_X - 128 - 1), -(DEF_WIN_H - DEF_OFF_Y - 8 - 1))
+        hi = (DEF_OFF_X - 1, DEF_OFF_Y - 1)
+        for fx, fy in [(lo[0], lo[1]), (hi[0], hi[1]), (lo[0], hi[1])]:
+            flow = jnp.full((1, 256, 512, 2), 0.0).at[..., 0].set(fx).at[..., 1].set(fy)
+            out = np.asarray(softsplat_pallas(vals, flow))
+            ref = self._ref(vals, flow)
+            np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+    def test_nonfinite_flow_dropped(self, rng):
+        from comfyui_frame_interpolation_tpu.ops.pallas.softsplat_kernel import (
+            softsplat_pallas,
+        )
+
+        vals = jnp.asarray(rng.random((1, 256, 512, 2)), jnp.float32)
+        f = np.asarray(_smooth_flow(1, 256, 512, amp=3.0))
+        f[0, 50, 50, 0] = np.inf
+        f[0, 60, 60, 1] = np.nan
+        flow = jnp.asarray(f)
+        out = np.asarray(softsplat_pallas(vals, flow))
+        ref = self._ref(vals, flow)
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+
+    def test_guard_falls_back_out_of_window(self, rng):
+        # dispatcher semantics: out-of-window flow must produce the exact XLA
+        # result (the lax.cond guard takes the fallback branch)
+        from comfyui_frame_interpolation_tpu.ops.softsplat import softsplat_func
+
+        prev = os.environ.pop("CFI_TPU_SPLAT", None)
+        try:
+            vals = jnp.asarray(rng.random((1, 256, 512, 2)), jnp.float32)
+            flow = jnp.full((1, 256, 512, 2), 0.0).at[..., 1].set(-200.0)
+            out = np.asarray(softsplat_func(vals, flow))
+            ref = self._ref(vals, flow)
+            np.testing.assert_allclose(out, ref, atol=1e-5)
+        finally:
+            if prev is not None:
+                os.environ["CFI_TPU_SPLAT"] = prev
