@@ -43,6 +43,43 @@ def _default_hbm_budget() -> int:
     return int(float(os.environ.get("CFI_HBM_BUDGET_GB", "12")) * 2**30)
 
 
+class _Progress:
+    """Opt-in executor observability (CFI_PROGRESS=1): per-level progress and
+    throughput, the TPU analog of the reference's per-pair prints
+    (``vfi_utils.py:295-298,326-336``)."""
+
+    def __init__(self, what: str, n_tasks: int):
+        self.enabled = os.environ.get("CFI_PROGRESS", "") == "1"
+        self.what = what
+        self.n_tasks = n_tasks
+        self.done = 0
+        if self.enabled:
+            import time
+
+            self._time = time.perf_counter
+            self.t0 = self._time()
+            print(f"CFI-VFI: {what}: {n_tasks} interpolation tasks")
+
+    def step(self, n: int, level: int) -> None:
+        if not self.enabled:
+            return
+        self.done += n
+        dt = self._time() - self.t0
+        fps = self.done / dt if dt > 0 else float("inf")
+        print(
+            f"CFI-VFI: level {level}: {self.done}/{self.n_tasks} frames "
+            f"({fps:.2f} frames/s)"
+        )
+
+    def finish(self, n_out: int) -> None:
+        if self.enabled:
+            dt = self._time() - self.t0
+            print(
+                f"CFI-VFI done! {self.done} frames generated "
+                f"({n_out} total) in {dt:.2f}s"
+            )
+
+
 def _gather(
     frames: Array, produced: Dict[int, Array], sources: Sequence[Source]
 ) -> Array:
@@ -103,8 +140,9 @@ def run_plan(
         )
     frames = jnp.asarray(frames)
     produced: Dict[int, Array] = {}
+    progress = _Progress("run_plan", len(plan.tasks))
 
-    for level in plan.levels:
+    for li, level in enumerate(plan.levels):
         for start in range(0, len(level), batch_size):
             chunk: List[Task] = level[start : start + batch_size]
             n = len(chunk)
@@ -119,8 +157,10 @@ def run_plan(
             mids = model_fn(f0, f1, tvec)
             for i, task in enumerate(chunk):
                 produced[task.id] = mids[i]
+            progress.step(n, li)
 
     out = _gather(frames, produced, plan.output)
+    progress.finish(len(plan.output))
     if out_dtype is not None:
         out = out.astype(out_dtype)
     return out
@@ -196,7 +236,8 @@ def _run_plan_streaming(
             tid, arr = in_flight.pop(0)
             host_produced[tid] = np.asarray(arr)
 
-    for level in plan.levels:
+    progress = _Progress("run_plan[streaming]", len(plan.tasks))
+    for li, level in enumerate(plan.levels):
         for start in range(0, len(level), batch_size):
             chunk: List[Task] = level[start : start + batch_size]
             n = len(chunk)
@@ -209,6 +250,7 @@ def _run_plan_streaming(
             f1 = jnp.stack([get_src(s) for s in src1])
             tvec = jnp.asarray(ts, dtype=f0.dtype)
             mids = model_fn(f0, f1, tvec)
+            progress.step(n, li)
             for i, task in enumerate(chunk):
                 m = mids[i]
                 try:
@@ -229,6 +271,7 @@ def _run_plan_streaming(
             flush_in_flight(keep_last=batch_size)
 
     flush_in_flight(keep_last=0)
+    progress.finish(len(plan.output))
 
     np_dtype = np.dtype(out_dtype) if out_dtype is not None else frames_np.dtype
     out = np.empty((len(plan.output),) + frames_np.shape[1:], np_dtype)
@@ -305,6 +348,7 @@ def run_plan_pair_cached(
     for key in order:
         by_count.setdefault(len(groups[key]), []).append(key)
 
+    progress = _Progress("run_plan[pair-cached]", len(plan.tasks))
     for m, keys in sorted(by_count.items()):
         for start in range(0, len(keys), batch_size):
             chunk = keys[start : start + batch_size]
@@ -321,8 +365,10 @@ def run_plan_pair_cached(
                 mids = infer_fn(f0, f1, cache, tvec)
                 for i, k in enumerate(chunk):
                     produced[groups[k][j].id] = mids[i]
+                progress.step(n, 0)
 
     out = _gather(frames, produced, plan.output)
+    progress.finish(len(plan.output))
     if out_dtype is not None:
         out = out.astype(out_dtype)
     return out

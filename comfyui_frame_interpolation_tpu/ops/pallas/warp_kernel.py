@@ -18,19 +18,33 @@ For each [8, 128] output tile (all C channels of one image together):
      same-shape lane crossbar (``take_along_axis`` axis=1, single vreg) fetches
      the two x-taps — index arithmetic done once, reused for every channel.
 
-For a fixed window, local flow deviation beyond it is clamped to the window
-edge. The public entry point :func:`warp_pallas_tiered` therefore computes the
-per-tile source-coordinate spans in an XLA prologue and picks the cheapest
-window that covers EVERY tile — (16, 256) → (32, 384) → (64, 512) → whole-call
-XLA gather — so the result is always bit-exact vs ``ops.warp.warp_xla`` while
-smooth flows (the overwhelmingly common case: RIFE/FILM/GMFSS intermediate
-flows are upsampled from coarse pyramids) pay only for the small window.
-Exactness vs the XLA path is asserted in ``tests/test_pallas_kernels.py``
-(TPU-gated), including flows chosen to land in each tier.
+The public entry point :func:`warp_pallas_tiered` is ALWAYS exact vs
+``ops.warp.warp_xla`` with no data-dependent control flow (an earlier
+``lax.cond`` tier ladder made XLA layout assignment materialize channel-minor
+boundary copies padded 18-42x — OOM at 1080p). Two passes:
 
-Measured (v5e, 8x1088x1920x7 bf16 per call): 24 ms at (16, 256), 55 ms at
-(32, 384), vs ~880 ms for the XLA gather. Cost is VPU-bound and scales with
-``win_h * (win_w / 128)``; DMA and weight math are minor.
+1. **bulk** — the diagonal-form kernel (``_warp_kernel_diag``) over every
+   tile with the ``K0_WIN`` (24, 384) window. It iterates flow-deviation
+   diagonals ``d = y0 - m - base`` rather than window rows: the window slice
+   ``win[d:d+8]`` maps output sublane m to source row ``base + m + d``
+   directly (no per-row broadcast), and for locally smooth flow only
+   ``variation + alignment + 2`` diagonals carry weight. An XLA prologue
+   derives per-tile spans from ``floor(flow)`` alone (cheap fused reduction;
+   exact off the frame edges since ``floor(row + f) == row + floor(f)``).
+2. **patch** — an in-place (aliased-output) kernel that exactly recomputes
+   the tiles the bulk pass couldn't cover (edge-clamped tiles, local
+   variation beyond the window) with a dynamic loop over aligned 8-row
+   full-width source slabs — exact for ANY flow, so no whole-call fallback
+   exists. Its body is per-tile predicated; the all-good case costs only a
+   scalar flag sweep.
+
+Exactness vs the XLA path is asserted in ``tests/test_pallas_kernels.py``
+(TPU-gated), including discontinuous and extreme flows that exercise the
+patch pass.
+
+Measured (v5e, 16x1088x1920x7 bf16 per call, smooth flow): 54 ms diagonal
+bulk vs 83 ms row-form vs ~1700 ms XLA gather. Cost is VPU-bound and scales
+with ``(win_h - 8) * (win_w / 128)``; DMA and weight math are minor.
 """
 
 from __future__ import annotations
@@ -49,8 +63,10 @@ TILE_H = 8
 TILE_W = 128
 DEF_WIN_H = 32
 DEF_WIN_W = 384
-# exactness ladder for warp_pallas_tiered: (win_h, win_w, channel cap)
-TIERS = ((16, 256, 36), (32, 384, 36), (64, 512, 12))
+# bulk-pass window for the always-exact two-pass scheme: with 8/128-aligned
+# per-tile bases this covers local flow variation of ≤8 px vertically and
+# ≤128 px horizontally within one (8, 128) tile — virtually all real flows
+K0_WIN = (24, 384)
 
 
 def _row_gather(row_chunks, lx, win_w):
@@ -354,8 +370,130 @@ def _warp_kernel_v2(
         out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
 
 
+def _warp_kernel_diag(
+    by_ref, bx_ref,  # scalar-prefetched window bases [T]
+    fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
+    *, h: int, w: int, win_h: int, win_w: int, c: int,
+    grid_hw: Tuple[int, int], zeros: bool = False
+):
+    """Diagonal-form bulk kernel: iterate over flow-deviation diagonals
+    ``d = y0 - m - by`` (m = output sublane) instead of window rows. The
+    window slice ``win[d : d+8]`` maps sublane m to source row ``m + d + by``
+    directly — a natural [8, 128] block, no per-row broadcast — and for
+    locally smooth flow only ``variation + alignment + 2`` diagonals carry
+    weight vs ``8 + variation + alignment`` rows in the row-form kernel.
+    Bases are ``align8(min(y0 - m))``; tiles with negative deviation (frame-
+    edge clamping, vertical shrink >1 px/row) don't fit and go to the patch
+    pass."""
+    gh, gw = grid_hw
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    wi = pl.program_id(2)
+    t = (bi * gh + hi) * gw + wi
+    n_tiles = pl.num_programs(0) * gh * gw
+
+    def start_dma(tile_idx, slot):
+        b_k = tile_idx // (gh * gw)
+        by = pl.multiple_of(by_ref[tile_idx], TILE_H)
+        bx = pl.multiple_of(bx_ref[tile_idx], TILE_W)
+        return pltpu.make_async_copy(
+            img_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        start_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        start_dma(t + 1, (t + 1) % 2).start()
+
+    fx = fx_ref[0].astype(jnp.float32)
+    fy = fy_ref[0].astype(jnp.float32)
+    miota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ys = (miota + hi * TILE_H).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + wi * TILE_W
+    ).astype(jnp.float32)
+    if zeros:
+        sx = xs + fx
+        sy = ys + fy
+        finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+        sx = jnp.where(finite, sx, -4.0 * w)
+        sy = jnp.where(finite, sy, -4.0 * h)
+        sx = jnp.clip(sx, -2.0 * w, 2.0 * w)
+        sy = jnp.clip(sy, -2.0 * h, 2.0 * h)
+    else:
+        sx = jnp.clip(xs + fx, 0.0, w - 1.0)
+        sy = jnp.clip(ys + fy, 0.0, h - 1.0)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx1 = sx - x0
+    wy1 = sy - y0
+    wx0 = 1.0 - wx1
+    if zeros:
+        vx0 = (x0 >= 0.0) & (x0 <= w - 1.0)
+        vx1 = (x0 + 1.0 >= 0.0) & (x0 + 1.0 <= w - 1.0)
+        vy0 = (y0 >= 0.0) & (y0 <= h - 1.0)
+        vy1 = (y0 + 1.0 >= 0.0) & (y0 + 1.0 <= h - 1.0)
+        wx0 = jnp.where(vx0, wx0, 0.0)
+        wx1 = jnp.where(vx1, wx1, 0.0)
+        wy0m = jnp.where(vy0, 1.0 - wy1, 0.0)
+        wy1m = jnp.where(vy1, wy1, 0.0)
+    else:
+        wy0m = 1.0 - wy1
+        wy1m = wy1
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    by = pl.multiple_of(by_ref[t], TILE_H)
+    bx = pl.multiple_of(bx_ref[t], TILE_W)
+    # diagonal deviation vs the ABSOLUTE window base (window row m + d holds
+    # source row by + m + d); out-of-range values simply match no diagonal
+    dy0 = jnp.clip(y0i - miota - by, -1, win_h)
+    lx0 = jnp.clip(x0i - bx, -1, win_w)
+    lx1 = jnp.clip(x0i + 1 - bx, -1, win_w)
+
+    start_dma(t, t % 2).wait()
+    slot = t % 2
+    n_chunks = win_w // TILE_W
+
+    # per-chunk local indices with the membership mask folded into the
+    # per-tap x-weights (hoisted to tile level; d-invariant)
+    tap_meta = []
+    for lx, wxm in ((lx0, wx0), (lx1, wx1)):
+        metas = []
+        for ci in range(n_chunks):
+            base = ci * TILE_W
+            in_chunk = (lx >= base) & (lx < base + TILE_W)
+            local = jnp.clip(lx - base, 0, TILE_W - 1)
+            metas.append((local, jnp.where(in_chunk, wxm, 0.0)))
+        tap_meta.append(metas)
+
+    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
+    for d in range(win_h - TILE_H + 1):
+        wd = jnp.where(dy0 == d, wy0m, 0.0) + jnp.where(dy0 == d - 1, wy1m, 0.0)
+        for ci in range(n_chunks):
+            l0, w0c = tap_meta[0][ci]
+            l1, w1c = tap_meta[1][ci]
+            wd0 = wd * w0c
+            wd1 = wd * w1c
+            for ch in range(c):
+                blk = win_ref[
+                    slot, ch, d : d + TILE_H, ci * TILE_W : (ci + 1) * TILE_W
+                ].astype(jnp.float32)
+                v0 = jnp.take_along_axis(blk, l0, axis=1)
+                v1 = jnp.take_along_axis(blk, l1, axis=1)
+                accs[ch] = accs[ch] + wd0 * v0 + wd1 * v1
+
+    for ch in range(c):
+        out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw")
+    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw", "diag")
 )
 def warp_pallas_planes_v2(
     planes: Array,  # [B, C, H, W]
@@ -366,6 +504,7 @@ def warp_pallas_planes_v2(
     zeros: bool = False,
     frame_hw: Optional[Tuple[int, int]] = None,
     bases: Optional[Tuple[Array, Array]] = None,
+    diag: bool = False,
 ) -> Array:
     b, c, h, w = planes.shape
     # true frame bounds for clamping/validity (the array may be padded)
@@ -391,7 +530,8 @@ def warp_pallas_planes_v2(
         bx = jnp.clip((bx // TILE_W) * TILE_W, 0, max(w - win_w, 0)).reshape(-1)
 
     kernel = functools.partial(
-        _warp_kernel_v2, h=hb, w=wb, win_h=win_h, win_w=win_w, c=c,
+        _warp_kernel_diag if diag else _warp_kernel_v2,
+        h=hb, w=wb, win_h=win_h, win_w=win_w, c=c,
         grid_hw=(gh, gw), zeros=zeros,
     )
     flow_spec = pl.BlockSpec(
@@ -456,147 +596,350 @@ def warp_pallas_v2(
 
 
 def _tile_spans(fx, fy, h, w, hb, wb):
-    """Per-(8,128)-tile min/max of the clamped integer source coordinates.
+    """Per-(8,128)-tile source-coordinate spans, computed from the FLOW alone.
 
-    Clamping to the frame matches the kernel exactly in border mode; in zeros
-    mode out-of-frame taps carry zero weight, so clamping is span-neutral.
-    Non-finite flows contribute nothing on every path and are treated as zero
-    displacement here so one NaN pixel doesn't inflate its tile's span."""
+    For integer pixel coordinates ``floor(row + f) == row + floor(f)``, so the
+    per-tile displacement spans are just tile min/max of ``floor(flow)`` — one
+    cheap fused reduction over the flow instead of materializing full-res
+    source-index maps (which cost ~5 ms/call at 1080p batch 16). Frame-edge
+    clamping breaks the identity, so any tile whose UNCLIPPED span touches the
+    frame boundary is flagged via the ``edge`` output (conservative superset);
+    the dispatcher sends those to the exact patch pass — which is where
+    clamped regions land anyway (their deviation turns negative). Non-finite
+    flows contribute nothing on every path and are span-neutral (0) here.
+
+    Returns (ymin, ymax, xmin, xmax, dymin, dymax, edge): absolute row/col
+    spans clipped to the frame (for the patch pass's slab range), raw
+    displacement spans (for diagonal bases/fits), and the edge flag — all
+    [B, gh, gw]."""
     b = fx.shape[0]
     gh, gw = h // TILE_H, w // TILE_W
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    sx = xs + fx.astype(jnp.float32)
-    sy = ys + fy.astype(jnp.float32)
-    finite = jnp.isfinite(sx) & jnp.isfinite(sy)
-    sx = jnp.where(finite, sx, xs)
-    sy = jnp.where(finite, sy, ys)
-    x0 = jnp.floor(jnp.clip(sx, 0.0, wb - 1.0)).astype(jnp.int32)
-    y0 = jnp.floor(jnp.clip(sy, 0.0, hb - 1.0)).astype(jnp.int32)
-    x0 = x0.reshape(b, gh, TILE_H, gw, TILE_W)
-    y0 = y0.reshape(b, gh, TILE_H, gw, TILE_W)
+    lim = 4.0 * max(hb, wb)
+    fxs = fx.astype(jnp.float32)
+    fys = fy.astype(jnp.float32)
+    finite = jnp.isfinite(fxs) & jnp.isfinite(fys)
+    fxs = jnp.clip(jnp.where(finite, fxs, 0.0), -lim, lim)
+    fys = jnp.clip(jnp.where(finite, fys, 0.0), -lim, lim)
+    dx = jnp.floor(fxs).astype(jnp.int32).reshape(b, gh, TILE_H, gw, TILE_W)
+    dy = jnp.floor(fys).astype(jnp.int32).reshape(b, gh, TILE_H, gw, TILE_W)
+    dxmin = jnp.min(dx, axis=(2, 4))
+    dxmax = jnp.max(dx, axis=(2, 4))
+    dymin = jnp.min(dy, axis=(2, 4))
+    dymax = jnp.max(dy, axis=(2, 4))
+    row0 = (jnp.arange(gh, dtype=jnp.int32) * TILE_H)[None, :, None]
+    col0 = (jnp.arange(gw, dtype=jnp.int32) * TILE_W)[None, None, :]
+    y_lo = row0 + dymin
+    y_hi0 = row0 + TILE_H - 1 + dymax  # max tap0 row
+    x_lo = col0 + dxmin
+    x_hi0 = col0 + TILE_W - 1 + dxmax
+    # Only VERTICAL out-of-frame taps break the diagonal kernel's indexing
+    # (border clamping yields constant y0 = deviation -m, unreachable by the
+    # d:d+8 slices; zeros-mode negative deviation likewise). Horizontal
+    # clipping is harmless — the x gather takes arbitrary per-lane indices and
+    # the clipped x spans below are exact by monotonicity of clip. The +1 taps
+    # carry zero weight at the boundary and never break the identity. Tiles
+    # entirely inside the caller's bottom padding are cropped away — never
+    # flag them.
+    edge = ((y_lo < 0) | (y_hi0 > hb - 1)) & (row0 <= hb - 1)
     return (
-        jnp.min(y0, axis=(2, 4)), jnp.max(y0, axis=(2, 4)),
-        jnp.min(x0, axis=(2, 4)), jnp.max(x0, axis=(2, 4)),
+        jnp.clip(y_lo, 0, hb - 1), jnp.clip(y_hi0 + 1, 0, hb - 1),
+        jnp.clip(x_lo, 0, wb - 1), jnp.clip(x_hi0 + 1, 0, wb - 1),
+        dymin, dymax, edge,
     )
 
 
 def _bases_fits(spans, wh, ww, h, w, hb, wb):
-    """Aligned window bases + whether (wh, ww) covers every tile.
-
-    The second tap (``y0+1`` / ``x0+1``) carries zero weight when it falls
-    beyond the frame, so the needed extent clamps to ``hb-1`` / ``wb-1``."""
-    ymin, ymax, xmin, xmax = spans
+    """Aligned window bases + per-tile fit flags for the ROW-form kernel.
+    Span extents are tap-inclusive and frame-clipped (see _tile_spans), so
+    edge tiles fit whenever their clipped extent sits inside the window."""
+    ymin, ymax, xmin, xmax = spans[:4]
     wh = min(wh, h)
     ww = min(ww, w)
     by = jnp.clip((ymin // TILE_H) * TILE_H, 0, max(h - wh, 0))
     bx = jnp.clip((xmin // TILE_W) * TILE_W, 0, max(w - ww, 0))
-    need_y = jnp.minimum(ymax + 1, hb - 1)
-    need_x = jnp.minimum(xmax + 1, wb - 1)
-    fits = jnp.all((need_y - by <= wh - 1) & (need_x - bx <= ww - 1))
-    return by.reshape(-1), bx.reshape(-1), fits
+    fits = (ymax - by <= wh - 1) & (xmax - bx <= ww - 1)
+    return by.reshape(-1), bx.reshape(-1), fits.reshape(-1)
 
 
-def _xla_fallback_planes(planes, fx, fy, hb, wb, zeros):
-    """Exact whole-call gather for flows beyond every tier. Channel-chunked:
-    the 4-tap gather materializes f32 temporaries per tap, which at full
-    resolution and wide C would blow HBM inside this rarely-taken branch."""
-    from ..warp import bilinear_sample
+def _diag_bases_fits(spans, wh, ww, h, w, hb, wb):
+    """Aligned window bases + fit flags for the diagonal-form bulk kernel.
+    Bases are absolute (align8 of the tile's min source row), so any constant
+    offset AND interior negative deviation (vertical shrink) are absorbed; a
+    tile fits when its tap-inclusive span sits in the window and it doesn't
+    touch frame clipping (edge tiles break the floor(row+f)=row+floor(f)
+    identity the diagonal indexing relies on — the patch pass owns them)."""
+    ymin, ymax, xmin, xmax, dymin, dymax, edge = spans
+    wh = min(wh, h)
+    ww = min(ww, w)
+    gh = dymin.shape[1]
+    row0 = (jnp.arange(gh, dtype=jnp.int32) * TILE_H)[None, :, None]
+    by = jnp.clip((ymin // TILE_H) * TILE_H, 0, max(h - wh, 0))
+    bx = jnp.clip((xmin // TILE_W) * TILE_W, 0, max(w - ww, 0))
+    # the max diagonal the kernel can reach is wh-8 (slice d:d+8); tap1 needs
+    # dymax+1. Callers pad the planes by wh-8 extra bottom rows so ``by`` is
+    # never clipped down for real tiles (which would inflate the needed
+    # diagonal past the reachable range).
+    fits = (
+        jnp.logical_not(edge)
+        & (row0 + dymax + 1 - by <= wh - TILE_H)
+        & (xmax - bx <= ww - 1)
+    )
+    return by.reshape(-1), bx.reshape(-1), fits.reshape(-1)
 
-    b, c, h, w = planes.shape
-    xs = jnp.arange(w, dtype=jnp.float32)
-    ys = jnp.arange(h, dtype=jnp.float32)
-    gx = jnp.broadcast_to(xs[None, None, :], (b, h, w)) + fx.astype(jnp.float32)
-    gy = jnp.broadcast_to(ys[None, :, None], (b, h, w)) + fy.astype(jnp.float32)
-    if not zeros:
-        gx = jnp.clip(gx, 0.0, wb - 1.0)
-        gy = jnp.clip(gy, 0.0, hb - 1.0)
-    mode = "zeros" if zeros else "border"
-    outs = []
-    for c0 in range(0, c, 4):
-        img = planes[:, c0 : c0 + 4, :hb, :wb].transpose(0, 2, 3, 1)
-        res = bilinear_sample(img, gx[:, :hb, :wb], gy[:, :hb, :wb], mode)
-        res = res.transpose(0, 3, 1, 2)
-        res = jnp.pad(
-            res, ((0, 0), (0, 0), (0, h - hb), (0, w - wb))
+
+def _patch_kernel(
+    bad_ref, ymin_ref, ymax_ref,  # scalar-prefetch [T]
+    fx_ref, fy_ref,  # VMEM flow tiles [1, 8, 128]
+    img_ref,  # ANY planes [B, C, H, W]
+    prev_ref,  # ANY planes [B, C, H, W], aliased to the output
+    out_ref,  # ANY planes [B, C, H, W]
+    slab_ref,  # VMEM [C, 8, W]
+    stage_ref,  # VMEM [C, 8, 128]
+    sem_in, sem_out,
+    *, h: int, w: int, hb: int, wb: int, c: int,
+    grid_hw: Tuple[int, int], zeros: bool,
+):
+    """In-place exact patch for tiles whose source span overflowed the bulk
+    pass's window: recompute with a dynamic loop over aligned 8-row source
+    slabs spanning the FULL width — exact for arbitrary flows (any vertical
+    span, any horizontal displacement), no fallback needed. Good tiles are
+    untouched (the output aliases the bulk result); the kernel body is fully
+    predicated on the per-tile flag. The grid is one instance per (image,
+    8-row band) — not per tile — so the all-good case costs only a cheap
+    sweep of scalar flag checks."""
+    gh, gw = grid_hw
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    del prev_ref  # only present for the in-place aliasing
+    for wi in range(gw):
+        _patch_tile(
+            bad_ref, ymin_ref, ymax_ref, fx_ref, fy_ref, img_ref, out_ref,
+            slab_ref, stage_ref, sem_in, sem_out,
+            bi=bi, hi=hi, wi=wi, gh=gh, gw=gw, h=h, w=w, hb=hb, wb=wb, c=c,
+            zeros=zeros,
         )
-        outs.append(res)
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-    return out.astype(planes.dtype)
+
+
+def _patch_tile(
+    bad_ref, ymin_ref, ymax_ref, fx_ref, fy_ref, img_ref, out_ref,
+    slab_ref, stage_ref, sem_in, sem_out,
+    *, bi, hi, wi, gh, gw, h, w, hb, wb, c, zeros,
+):
+    t = (bi * gh + hi) * gw + wi
+
+    @pl.when(bad_ref[t] != 0)
+    def _():
+        fx = fx_ref[0, :, wi * TILE_W : (wi + 1) * TILE_W].astype(jnp.float32)
+        fy = fy_ref[0, :, wi * TILE_W : (wi + 1) * TILE_W].astype(jnp.float32)
+        ys = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+            + hi * TILE_H
+        ).astype(jnp.float32)
+        xs = (
+            jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+            + wi * TILE_W
+        ).astype(jnp.float32)
+        if zeros:
+            sx = xs + fx
+            sy = ys + fy
+            finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+            sx = jnp.where(finite, sx, -4.0 * wb)
+            sy = jnp.where(finite, sy, -4.0 * hb)
+            sx = jnp.clip(sx, -2.0 * wb, 2.0 * wb)
+            sy = jnp.clip(sy, -2.0 * hb, 2.0 * hb)
+        else:
+            sx = jnp.clip(xs + fx, 0.0, wb - 1.0)
+            sy = jnp.clip(ys + fy, 0.0, hb - 1.0)
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        wx1 = sx - x0
+        wy1 = sy - y0
+        wx0 = 1.0 - wx1
+        if zeros:
+            vx0 = (x0 >= 0.0) & (x0 <= wb - 1.0)
+            vx1 = (x0 + 1.0 >= 0.0) & (x0 + 1.0 <= wb - 1.0)
+            vy0 = (y0 >= 0.0) & (y0 <= hb - 1.0)
+            vy1 = (y0 + 1.0 >= 0.0) & (y0 + 1.0 <= hb - 1.0)
+            wx0 = jnp.where(vx0, wx0, 0.0)
+            wx1 = jnp.where(vx1, wx1, 0.0)
+            wy0m = jnp.where(vy0, 1.0 - wy1, 0.0)
+            wy1m = jnp.where(vy1, wy1, 0.0)
+        else:
+            wy0m = 1.0 - wy1
+            wy1m = wy1
+        # absolute tap indices, clamped into the frame (zero weight beyond)
+        ly0 = jnp.clip(y0.astype(jnp.int32), 0, hb - 1)
+        ly1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, hb - 1)
+        n_chunks = w // TILE_W
+        tap_meta = []
+        for lx_f in (x0, x0 + 1.0):
+            lx = jnp.clip(lx_f.astype(jnp.int32), 0, wb - 1)
+            metas = []
+            for ci in range(n_chunks):
+                base = ci * TILE_W
+                in_chunk = (lx >= base) & (lx < base + TILE_W)
+                local = jnp.clip(lx - base, 0, TILE_W - 1)
+                metas.append((local, in_chunk))
+            tap_meta.append(metas)
+
+        g0 = ymin_ref[t] // TILE_H
+        g1 = ymax_ref[t] // TILE_H  # spans are tap-inclusive, frame-clipped
+
+        def body(g, accs):
+            base_r = pl.multiple_of(g * TILE_H, TILE_H)
+            copy = pltpu.make_async_copy(
+                img_ref.at[bi, :, pl.ds(base_r, TILE_H), :], slab_ref, sem_in
+            )
+            copy.start()
+            copy.wait()
+            accs = list(accs)
+            for dr in range(TILE_H):
+                r = base_r + dr
+                wrow = (
+                    jnp.where(ly0 == r, wy0m, 0.0)
+                    + jnp.where(ly1 == r, wy1m, 0.0)
+                )
+                wr0 = wrow * wx0
+                wr1 = wrow * wx1
+                for ch in range(c):
+                    chunks = [
+                        jnp.broadcast_to(
+                            slab_ref[ch, dr : dr + 1,
+                                     ci * TILE_W : (ci + 1) * TILE_W],
+                            (TILE_H, TILE_W),
+                        ).astype(jnp.float32)
+                        for ci in range(n_chunks)
+                    ]
+                    vals = []
+                    for metas in tap_meta:
+                        v = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                        for ci, (local, in_chunk) in enumerate(metas):
+                            g_ = jnp.take_along_axis(chunks[ci], local, axis=1)
+                            v = jnp.where(in_chunk, g_, v)
+                        vals.append(v)
+                    accs[ch] = accs[ch] + wr0 * vals[0] + wr1 * vals[1]
+            return tuple(accs)
+
+        accs = tuple(
+            jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)
+        )
+        accs = jax.lax.fori_loop(g0, g1 + 1, body, accs)
+        for ch in range(c):
+            stage_ref[ch] = accs[ch].astype(stage_ref.dtype)
+        out = pltpu.make_async_copy(
+            stage_ref,
+            out_ref.at[
+                bi, :, pl.ds(hi * TILE_H, TILE_H), pl.ds(wi * TILE_W, TILE_W)
+            ],
+            sem_out,
+        )
+        out.start()
+        out.wait()
+
+
+def _run_patch(planes_prev, img_planes, fx, fy, bad, ymin, ymax, hb, wb, zeros):
+    b, c, h, w = img_planes.shape
+    gh, gw = h // TILE_H, w // TILE_W
+    kernel = functools.partial(
+        _patch_kernel, h=h, w=w, hb=hb, wb=wb, c=c, grid_hw=(gh, gw),
+        zeros=zeros,
+    )
+    flow_spec = pl.BlockSpec(
+        (1, TILE_H, w), lambda bi, hi, *_: (bi, hi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, gh),
+        in_specs=[
+            flow_spec,
+            flow_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((c, TILE_H, w), img_planes.dtype),
+            pltpu.VMEM((c, TILE_H, TILE_W), planes_prev.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(planes_prev.shape, planes_prev.dtype),
+        input_output_aliases={6: 0},  # prev (operand 6 incl. prefetch) -> out
+    )(bad, ymin, ymax, fx, fy, img_planes, planes_prev)
 
 
 @functools.partial(jax.jit, static_argnames=("zeros", "frame_hw"))
-def warp_pallas_planes_tiered(
-    planes: Array,  # [B, C, H, W]
+def warp_pallas_nhwc_tiered(
+    img: Array,  # [B, H, W, C], H % 8 == 0, W % 128 == 0
     fx: Array,
     fy: Array,
     zeros: bool = False,
     frame_hw: Optional[Tuple[int, int]] = None,
 ) -> Array:
-    """Always-exact warp: run the cheapest kernel window that covers every
-    tile's source span, falling back to the XLA gather for pathological flows
-    (local variation beyond ~±48 rows / ±380 cols within one 8x128 tile)."""
-    b, c, h, w = planes.shape
+    """Always-exact warp with NO data-dependent control flow: a bulk pass over
+    every tile with the (24, 384) window (covers ≤8 px vertical / ≤128 px
+    horizontal local flow variation per (8, 128) tile — virtually all real
+    content), then an in-place patch kernel that exactly recomputes the rare
+    overflowing tiles with a dynamic full-width slab loop (exact for ANY
+    flow). Both passes always run; the patch is per-tile predicated, so its
+    cost is proportional to the number of overflowing tiles.
+
+    An earlier design selected window tiers with ``lax.cond``; XLA's layout
+    assignment pushed the NHWC↔planes transposes through the cond boundary as
+    a channel-minor tiled layout (C padded to 128 lanes — 18-42x padded
+    multi-GB boundary copies at C=7, OOMing a 16 GB chip). Avoiding conds
+    avoids the entire failure class and the XLA-gather fallback with it.
+    """
+    b, h, w, c = img.shape
     hb, wb = frame_hw or (h, w)
     spans = _tile_spans(fx, fy, h, w, hb, wb)
+    wh, ww = K0_WIN
+    by, bx, fits = _diag_bases_fits(spans, wh, ww, h, w, hb, wb)
+    planes = img.transpose(0, 3, 1, 2)
+    ymin, ymax = spans[0].reshape(-1), spans[1].reshape(-1)
+    bad = jnp.logical_not(fits).astype(jnp.int32)
 
-    def run_tier(wh, ww, cap, by, bx):
-        # zeros-mode validity masks add register pressure; lower the channel
-        # cap so the fully-unrolled kernel body doesn't blow scoped VMEM
-        cap = min(cap, {16: 24, 32: 24, 64: 8}[wh] if zeros else cap)
-        if c <= cap:
-            return warp_pallas_planes_v2(
-                planes, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
-                frame_hw=(hb, wb), bases=(by, bx),
-            )
-        parts = [
-            warp_pallas_planes_v2(
-                planes[:, i : i + cap], fx, fy, win_h=wh, win_w=ww,
-                zeros=zeros, frame_hw=(hb, wb), bases=(by, bx),
-            )
-            for i in range(0, c, cap)
-        ]
-        return jnp.concatenate(parts, axis=1)
+    # both kernels fully unroll the channel loop; chunk wide features
+    cap = 24 if zeros else 36
 
-    ladder = []
-    for wh, ww, cap in TIERS:
-        by, bx, fits = _bases_fits(spans, wh, ww, h, w, hb, wb)
-        ladder.append((wh, ww, cap, by, bx, fits))
-        if wh >= h and ww >= w:
-            break  # this window sees the whole image: unconditional cover
+    def one_chunk(planes_c):
+        # bulk pass (garbage on non-fitting tiles) + in-place exact patch
+        bulk = warp_pallas_planes_v2(
+            planes_c, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
+            frame_hw=(hb, wb), bases=(by, bx), diag=True,
+        )
+        return _run_patch(
+            bulk, planes_c, fx, fy, bad, ymin, ymax, hb, wb, zeros
+        )
 
-    def make(i):
-        if i == len(ladder):
-            return lambda _: _xla_fallback_planes(planes, fx, fy, hb, wb, zeros)
-        wh, ww, cap, by, bx, fits = ladder[i]
-        if wh >= h and ww >= w:
-            return lambda _: run_tier(wh, ww, cap, by, bx)
-
-        def step(_):
-            return jax.lax.cond(
-                fits,
-                lambda __: run_tier(wh, ww, cap, by, bx),
-                make(i + 1),
-                None,
-            )
-
-        return step
-
-    return make(0)(None)
+    if c <= cap:
+        out = one_chunk(planes)
+    else:
+        out = jnp.concatenate(
+            [one_chunk(planes[:, i : i + cap]) for i in range(0, c, cap)],
+            axis=1,
+        )
+    return out.transpose(0, 2, 3, 1)
 
 
 def warp_pallas_tiered(img: Array, flow: Array, zeros: bool = False) -> Array:
     """NHWC warp (border or zeros padding), always exact vs ``warp_xla``."""
     b, h, w, c = img.shape
-    ph = -h % TILE_H
+    # pad the bottom by the bulk kernel's diagonal reach so window bases for
+    # the last tile rows are never clipped (see _diag_bases_fits); edge
+    # replicate keeps border-clamp semantics identical
+    ph = (-h % TILE_H) + (K0_WIN[0] - TILE_H)
     pw = -w % TILE_W
     if ph or pw or w < TILE_W:
         pw = max(pw, TILE_W - w)
         img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-    planes = img.transpose(0, 3, 1, 2)
-    out = warp_pallas_planes_tiered(
-        planes, flow[..., 0], flow[..., 1], zeros=zeros, frame_hw=(h, w)
+    out = warp_pallas_nhwc_tiered(
+        img, flow[..., 0], flow[..., 1], zeros=zeros, frame_hw=(h, w)
     )
-    out = out.transpose(0, 2, 3, 1)
     return out[:, :h, :w, :]

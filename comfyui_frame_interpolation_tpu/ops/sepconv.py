@@ -11,11 +11,11 @@ output H/W equal ``ver``/``hor``'s H/W (reference shape coupling at
 The CUDA kernel uses Kahan-compensated summation, a hint that fp32 accumulation is
 load-bearing at K=51 — we accumulate in fp32 regardless of input dtype.
 
-Two paths:
-* :func:`sepconv_func` — jnp reference: a fori_loop over the K² taps with dynamic
-  slices (memory-bound if XLA fails to tile; always correct, runs anywhere).
-* a Pallas TPU kernel (``pallas/sepconv_kernel.py``) that loads an input tile + halo
-  into VMEM once and runs the K² accumulation on-chip (selected when available).
+Implementation: :func:`sepconv_func`, a fori_loop over the K² taps with dynamic
+slices — XLA keeps the accumulator on-chip between iterations, and the measured
+720p throughput already exceeds the estimated reference baseline. A fused Pallas
+kernel (input tile + 50 px halo resident in VMEM across all K² taps) is the known
+next step if sepconv ever becomes the bottleneck; it is NOT implemented yet.
 """
 
 from __future__ import annotations

@@ -8,9 +8,9 @@ Under the default (CPU-pinned) test configuration every test here skips; on a
 real TPU they assert bit-exactness (or the documented bounded error) of
 
 * ``warp_pallas_tiered`` vs ``warp_xla`` — border and zeros padding, flows
-  chosen to land in each tier of the exactness ladder (16x256 / 32x384 /
-  64x512 / whole-call XLA fallback), odd shapes, channel counts beyond the
-  per-tier VMEM caps;
+  exercising both the bulk (24, 384)-window pass and the exact dynamic-slab
+  patch pass (discontinuities, extreme random flows), odd shapes, channel
+  counts beyond the per-call VMEM caps;
 * ``softsplat_pallas`` vs ``_softsplat_xla`` — in-window flows, the window
   contract edges, non-finite flows, and the dispatcher's guard→fallback
   equivalence for out-of-window flows.
@@ -130,7 +130,7 @@ class TestWarpTiered:
         from comfyui_frame_interpolation_tpu.ops.warp import warp_xla
 
         img = jnp.asarray(rng.standard_normal((1, 256, 512, 3)), jnp.bfloat16)
-        f = np.asarray(_smooth_flow(1, 256, 512, amp=2.0))
+        f = np.array(_smooth_flow(1, 256, 512, amp=2.0))
         bad = np.zeros((256, 512), bool)
         bad[10, 10] = bad[100, 300] = True
         f[0, bad] = np.nan
@@ -195,7 +195,7 @@ class TestSoftsplatPallas:
         )
 
         vals = jnp.asarray(rng.random((1, 256, 512, 2)), jnp.float32)
-        f = np.asarray(_smooth_flow(1, 256, 512, amp=3.0))
+        f = np.array(_smooth_flow(1, 256, 512, amp=3.0))
         f[0, 50, 50, 0] = np.inf
         f[0, 60, 60, 1] = np.nan
         flow = jnp.asarray(f)
