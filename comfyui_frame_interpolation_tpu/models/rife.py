@@ -76,10 +76,20 @@ def _resconv(p: Params, x: Array) -> Array:
 
 
 def _if_block(
-    p: Params, x: Array, flow: Optional[Array], scale: float, arch: str
+    p: Params, x, flow: Optional[Array], scale: float, arch: str
 ) -> Tuple[Array, Array, Optional[Array]]:
-    """``IFBlock.forward`` (rife_arch.py:237-276). Returns (flow, mask, feat|None)."""
-    x = resize_by_scale(x, 1.0 / scale, align_corners=False)
+    """``IFBlock.forward`` (rife_arch.py:237-276). Returns (flow, mask, feat|None).
+
+    ``x`` may be a list of input planes: they are downsampled individually and
+    concatenated at the block's working resolution (bilinear resize is
+    channelwise, so this is exact vs resize-of-concat) — materializing the
+    full-resolution concat costs an 8 ms layout copy per stage at 1080p b8."""
+    if isinstance(x, (list, tuple)):
+        if scale != 1.0:
+            x = [resize_by_scale(q, 1.0 / scale, align_corners=False) for q in x]
+        x = jnp.concatenate(x, axis=-1) if len(x) > 1 else x[0]
+    else:
+        x = resize_by_scale(x, 1.0 / scale, align_corners=False)
     if flow is not None:
         flow = resize_by_scale(flow, 1.0 / scale, align_corners=False) * (1.0 / scale)
         x = jnp.concatenate([x, flow], axis=-1)
@@ -228,8 +238,14 @@ def apply(
     tmap = jnp.broadcast_to(timestep.reshape(-1, 1, 1, 1), (n, ph, pw, 1))
 
     if arch_ver in ("4.7", "4.10", "4.17", "4.26"):
-        f0 = _encode(params["encode"], img0[..., :3], arch_ver)
-        f1 = _encode(params["encode"], img1[..., :3], arch_ver)
+        # one batched call: the encoders end in a 4-channel full-res transposed
+        # conv whose MXU utilization is lane-starved — at least share the pass
+        both = _encode(
+            params["encode"],
+            jnp.concatenate([img0[..., :3], img1[..., :3]], axis=0),
+            arch_ver,
+        )
+        f0, f1 = both[:n], both[n:]
     else:
         f0 = f1 = None
 
@@ -244,20 +260,18 @@ def apply(
 
     # ---- stage 0 -----------------------------------------------------------
     if arch_ver in ("4.0", "4.2", "4.3", "4.5", "4.6"):
-        x0 = jnp.concatenate([img0[..., :3], img1[..., :3], tmap], -1)
+        x0 = [img0[..., :3], img1[..., :3], tmap]
         flow, mask, _ = _if_block(blocks[0], x0, None, scale_list[0], arch_ver)
         if ensemble:
-            x0r = jnp.concatenate([img1[..., :3], img0[..., :3], 1 - tmap], -1)
+            x0r = [img1[..., :3], img0[..., :3], 1 - tmap]
             fr, mr, _ = _if_block(blocks[0], x0r, None, scale_list[0], arch_ver)
             flow = (flow + _swap_flow(fr)) / 2
             mask = (mask + (-mr)) / 2
     else:  # 4.7 / 4.10 / 4.17
-        x0 = jnp.concatenate([img0[..., :3], img1[..., :3], f0, f1, tmap], -1)
+        x0 = [img0[..., :3], img1[..., :3], f0, f1, tmap]
         flow, mask, _ = _if_block(blocks[0], x0, None, scale_list[0], arch_ver)
         if ensemble:
-            x0r = jnp.concatenate(
-                [img1[..., :3], img0[..., :3], f1, f0, 1 - tmap], -1
-            )
+            x0r = [img1[..., :3], img0[..., :3], f1, f0, 1 - tmap]
             fr, mr, _ = _if_block(blocks[0], x0r, None, scale_list[0], arch_ver)
             flow = (flow + _swap_flow(fr)) / 2
             mask = (mask + (-mr)) / 2
@@ -273,14 +287,10 @@ def apply(
     # ---- stages 1..N -------------------------------------------------------
     def later_stage(i, scales, flow, mask, warped0, warped1, wf0c, wf1c):
         if arch_ver in ("4.0", "4.2", "4.3", "4.5", "4.6"):
-            x = jnp.concatenate(
-                [warped0[..., :3], warped1[..., :3], tmap, mask], -1
-            )
+            x = [warped0[..., :3], warped1[..., :3], tmap, mask]
             fd, m0, _ = _if_block(blocks[i], x, flow, scales[i], arch_ver)
             if ensemble:
-                xr = jnp.concatenate(
-                    [warped1[..., :3], warped0[..., :3], 1 - tmap, -mask], -1
-                )
+                xr = [warped1[..., :3], warped0[..., :3], 1 - tmap, -mask]
                 fr, mr, _ = _if_block(
                     blocks[i], xr, _swap_flow(flow), scales[i], arch_ver
                 )
@@ -292,9 +302,7 @@ def apply(
             return new_flow, new_mask, new_w0, new_w1, None, None
         # 4.7/4.10/4.17: wf0c/wf1c are warp(f{0,1}, flow) computed fused with
         # the previous stage's image warps (same flow).
-        x = jnp.concatenate(
-            [warped0[..., :3], warped1[..., :3], wf0c, wf1c, tmap, mask], -1
-        )
+        x = [warped0[..., :3], warped1[..., :3], wf0c, wf1c, tmap, mask]
         fd, m0, _ = _if_block(blocks[i], x, flow, scales[i], arch_ver)
         # reference quirk (rife_arch.py:645,672-692): flow is updated with the
         # un-averaged fd BEFORE the ensemble pass, which then warps/receives
@@ -310,10 +318,7 @@ def apply(
             new_w0, new_w1 = _warp_both(img0, img1, new_flow)
             wf0n = wf1n = None
         if ensemble:
-            xr = jnp.concatenate(
-                [warped1[..., :3], warped0[..., :3], wf1n, wf0n, 1 - tmap, -mask],
-                -1,
-            )
+            xr = [warped1[..., :3], warped0[..., :3], wf1n, wf0n, 1 - tmap, -mask]
             fr, mr, _ = _if_block(
                 blocks[i], xr, _swap_flow(new_flow), scales[i], arch_ver
             )
@@ -335,7 +340,7 @@ def apply(
         # the stage-1 ensemble averaging, which then runs on the rescued state
         # with the (globally) doubled scale list. Both tails have identical
         # shapes, so this is a runtime lax.cond over the remaining pyramid.
-        x1 = jnp.concatenate([warped0[..., :3], warped1[..., :3], tmap, mask], -1)
+        x1 = [warped0[..., :3], warped1[..., :3], tmap, mask]
         fd1, m01, _ = _if_block(blocks[1], x1, flow, scale_list[1], arch_ver)
         big = (jnp.max(jnp.abs(fd1[..., :2])) > 32) & (
             jnp.max(jnp.abs(fd1[..., 2:4])) > 32
@@ -343,9 +348,7 @@ def apply(
 
         def finish_stage1(scales, fl, mk, w0, w1, fd, m0):
             if ensemble:
-                xr = jnp.concatenate(
-                    [w1[..., :3], w0[..., :3], 1 - tmap, -mk], -1
-                )
+                xr = [w1[..., :3], w0[..., :3], 1 - tmap, -mk]
                 fr, mr, _ = _if_block(
                     blocks[1], xr, _swap_flow(fl), scales[1], arch_ver
                 )
@@ -363,10 +366,10 @@ def apply(
 
         def rescued(_):
             scales2 = [s * 2 for s in scale_list]
-            x0b = jnp.concatenate([img0[..., :3], img1[..., :3], tmap], -1)
+            x0b = [img0[..., :3], img1[..., :3], tmap]
             fl, mk, _ = _if_block(blocks[0], x0b, None, scales2[0], arch_ver)
             w0, w1 = _warp_both(img0, img1, fl)
-            xb = jnp.concatenate([w0[..., :3], w1[..., :3], tmap, mk], -1)
+            xb = [w0[..., :3], w1[..., :3], tmap, mk]
             fdb, m0b, _ = _if_block(blocks[1], xb, fl, scales2[1], arch_ver)
             return finish_stage1(scales2, fl, mk, w0, w1, fdb, m0b)
 
@@ -397,15 +400,13 @@ def apply(
 
 def _forward_426(blocks, img0, img1, f0, f1, tmap, scale_list, h, w) -> Array:
     """4.26 path (rife_arch.py:512-587,708-711): 5 blocks, feat threading."""
-    x0 = jnp.concatenate([img0[..., :3], img1[..., :3], f0, f1, tmap], -1)
+    x0 = [img0[..., :3], img1[..., :3], f0, f1, tmap]
     flow, mask, feat = _if_block(blocks[0], x0, None, scale_list[0], "4.26")
     # stage i's feature warp uses the same flow as stage i-1's image warp —
     # fuse them into one 7-plane kernel call (exact; see _warp_pair).
     warped0, wf0, warped1, wf1 = _warp_both_pairs(img0, f0, img1, f1, flow)
     for i in range(1, 5):
-        x = jnp.concatenate(
-            [warped0[..., :3], warped1[..., :3], wf0, wf1, tmap, mask, feat], -1
-        )
+        x = [warped0[..., :3], warped1[..., :3], wf0, wf1, tmap, mask, feat]
         fd, m0, feat = _if_block(blocks[i], x, flow, scale_list[i], "4.26")
         flow = flow + fd
         mask = m0

@@ -492,6 +492,130 @@ def _warp_kernel_diag(
         out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
 
 
+def _warp_kernel_diag_roll(
+    ymin_ref, by_ref, bx_ref,  # scalar-prefetched [T]
+    fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
+    *, h: int, w: int, win_h: int, win_w: int, c: int,
+    grid_hw: Tuple[int, int], zeros: bool = False
+):
+    """Diagonal kernel with a dynamic sublane ROLL of the window that cancels
+    the 8-row base alignment loss: the rolled window's row r holds source row
+    ``ymin + r``, so the diagonal loop spans only ``variation + 2`` values
+    (static bound ``win_h - 15``) instead of ``variation + alignment + 2``.
+    The worst-case wrap check: s + d + 8 <= win_h holds for every alignment
+    s in [0, 7] exactly when the fit bound dymax - dymin <= win_h - 16 does."""
+    gh, gw = grid_hw
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    wi = pl.program_id(2)
+    t = (bi * gh + hi) * gw + wi
+    n_tiles = pl.num_programs(0) * gh * gw
+
+    def start_dma(tile_idx, slot):
+        b_k = tile_idx // (gh * gw)
+        by = pl.multiple_of(by_ref[tile_idx], TILE_H)
+        bx = pl.multiple_of(bx_ref[tile_idx], TILE_W)
+        return pltpu.make_async_copy(
+            img_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        start_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        start_dma(t + 1, (t + 1) % 2).start()
+
+    fx = fx_ref[0].astype(jnp.float32)
+    fy = fy_ref[0].astype(jnp.float32)
+    miota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ys = (miota + hi * TILE_H).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + wi * TILE_W
+    ).astype(jnp.float32)
+    if zeros:
+        sx = xs + fx
+        sy = ys + fy
+        finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+        sx = jnp.where(finite, sx, -4.0 * w)
+        sy = jnp.where(finite, sy, -4.0 * h)
+        sx = jnp.clip(sx, -2.0 * w, 2.0 * w)
+        sy = jnp.clip(sy, -2.0 * h, 2.0 * h)
+    else:
+        sx = jnp.clip(xs + fx, 0.0, w - 1.0)
+        sy = jnp.clip(ys + fy, 0.0, h - 1.0)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx1 = sx - x0
+    wy1 = sy - y0
+    wx0 = 1.0 - wx1
+    if zeros:
+        vx0 = (x0 >= 0.0) & (x0 <= w - 1.0)
+        vx1 = (x0 + 1.0 >= 0.0) & (x0 + 1.0 <= w - 1.0)
+        vy0 = (y0 >= 0.0) & (y0 <= h - 1.0)
+        vy1 = (y0 + 1.0 >= 0.0) & (y0 + 1.0 <= h - 1.0)
+        wx0 = jnp.where(vx0, wx0, 0.0)
+        wx1 = jnp.where(vx1, wx1, 0.0)
+        wy0m = jnp.where(vy0, 1.0 - wy1, 0.0)
+        wy1m = jnp.where(vy1, wy1, 0.0)
+    else:
+        wy0m = 1.0 - wy1
+        wy1m = wy1
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    ymin = ymin_ref[t]
+    by = pl.multiple_of(by_ref[t], TILE_H)
+    bx = pl.multiple_of(bx_ref[t], TILE_W)
+    # deviation relative to the tile's exact min source row
+    dy0 = jnp.clip(y0i - miota - ymin, -1, win_h)
+    lx0 = jnp.clip(x0i - bx, -1, win_w)
+    lx1 = jnp.clip(x0i + 1 - bx, -1, win_w)
+
+    start_dma(t, t % 2).wait()
+    slot = t % 2
+    n_chunks = win_w // TILE_W
+
+    tap_meta = []
+    for lx, wxm in ((lx0, wx0), (lx1, wx1)):
+        metas = []
+        for ci in range(n_chunks):
+            base = ci * TILE_W
+            in_chunk = (lx >= base) & (lx < base + TILE_W)
+            local = jnp.clip(lx - base, 0, TILE_W - 1)
+            metas.append((local, jnp.where(in_chunk, wxm, 0.0)))
+        tap_meta.append(metas)
+
+    # roll so rolled row r = source row ymin + r (dynamic positive shift;
+    # Mosaic's negative dynamic shifts are miscompiled — measured off-by-8)
+    s = ymin - by
+    shift = jnp.where(s == 0, 0, win_h - s)
+    rolled = [
+        pltpu.roll(win_ref[slot, ch][...].astype(jnp.float32), shift, 0)
+        for ch in range(c)
+    ]
+
+    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
+    for d in range(win_h - TILE_H - 7 + 1):
+        wd = jnp.where(dy0 == d, wy0m, 0.0) + jnp.where(dy0 == d - 1, wy1m, 0.0)
+        for ci in range(n_chunks):
+            l0, w0c = tap_meta[0][ci]
+            l1, w1c = tap_meta[1][ci]
+            wd0 = wd * w0c
+            wd1 = wd * w1c
+            for ch in range(c):
+                blk = rolled[ch][d : d + TILE_H, ci * TILE_W : (ci + 1) * TILE_W]
+                v0 = jnp.take_along_axis(blk, l0, axis=1)
+                v1 = jnp.take_along_axis(blk, l1, axis=1)
+                accs[ch] = accs[ch] + wd0 * v0 + wd1 * v1
+
+    for ch in range(c):
+        out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw", "diag")
 )
@@ -514,7 +638,10 @@ def warp_pallas_planes_v2(
     win_w = min(win_w, w)
     gh, gw = h // TILE_H, w // TILE_W
 
-    if bases is not None:
+    if diag == "roll":
+        assert bases is not None and len(bases) == 3
+        by = bx = None  # unpacked below
+    elif bases is not None:
         by, bx = bases
     else:
         # per-tile aligned window bases, computed as a cheap XLA reduction
@@ -529,8 +656,16 @@ def warp_pallas_planes_v2(
         by = jnp.clip((by // TILE_H) * TILE_H, 0, max(h - win_h, 0)).reshape(-1)
         bx = jnp.clip((bx // TILE_W) * TILE_W, 0, max(w - win_w, 0)).reshape(-1)
 
+    if diag == "roll":
+        # bases must be (ymin, by, bx): the roll shift is ymin - by
+        ymin, by, bx = bases
+        kern_fn = _warp_kernel_diag_roll
+        prefetch = (ymin, by, bx)
+    else:
+        kern_fn = _warp_kernel_diag if diag else _warp_kernel_v2
+        prefetch = (by, bx)
     kernel = functools.partial(
-        _warp_kernel_diag if diag else _warp_kernel_v2,
+        kern_fn,
         h=hb, w=wb, win_h=win_h, win_w=win_w, c=c,
         grid_hw=(gh, gw), zeros=zeros,
     )
@@ -539,7 +674,7 @@ def warp_pallas_planes_v2(
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(b, gh, gw),
         in_specs=[
             flow_spec,
@@ -559,7 +694,7 @@ def warp_pallas_planes_v2(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), planes.dtype),
-    )(by, bx, fx, fy, planes)
+    )(*prefetch, fx, fy, planes)
 
 
 def warp_pallas_v2(
@@ -620,12 +755,16 @@ def _tile_spans(fx, fy, h, w, hb, wb):
     finite = jnp.isfinite(fxs) & jnp.isfinite(fys)
     fxs = jnp.clip(jnp.where(finite, fxs, 0.0), -lim, lim)
     fys = jnp.clip(jnp.where(finite, fys, 0.0), -lim, lim)
-    dx = jnp.floor(fxs).astype(jnp.int32).reshape(b, gh, TILE_H, gw, TILE_W)
-    dy = jnp.floor(fys).astype(jnp.int32).reshape(b, gh, TILE_H, gw, TILE_W)
-    dxmin = jnp.min(dx, axis=(2, 4))
-    dxmax = jnp.max(dx, axis=(2, 4))
-    dymin = jnp.min(dy, axis=(2, 4))
-    dymax = jnp.max(dy, axis=(2, 4))
+    # reduce the minor (lane) axis first, then the sublane groups — lowers to
+    # contiguous vector reductions instead of a strided two-axis reduce
+    def tile_minmax(d):
+        d = d.reshape(b, h, gw, TILE_W)
+        dmin = jnp.min(d, axis=-1).reshape(b, gh, TILE_H, gw)
+        dmax = jnp.max(d, axis=-1).reshape(b, gh, TILE_H, gw)
+        return jnp.min(dmin, axis=2), jnp.max(dmax, axis=2)
+
+    dxmin, dxmax = tile_minmax(jnp.floor(fxs).astype(jnp.int32))
+    dymin, dymax = tile_minmax(jnp.floor(fys).astype(jnp.int32))
     row0 = (jnp.arange(gh, dtype=jnp.int32) * TILE_H)[None, :, None]
     col0 = (jnp.arange(gw, dtype=jnp.int32) * TILE_W)[None, None, :]
     y_lo = row0 + dymin
@@ -662,29 +801,33 @@ def _bases_fits(spans, wh, ww, h, w, hb, wb):
 
 
 def _diag_bases_fits(spans, wh, ww, h, w, hb, wb):
-    """Aligned window bases + fit flags for the diagonal-form bulk kernel.
+    """Bases + fit flags for the rolled diagonal-form bulk kernel.
+
     Bases are absolute (align8 of the tile's min source row), so any constant
-    offset AND interior negative deviation (vertical shrink) are absorbed; a
-    tile fits when its tap-inclusive span sits in the window and it doesn't
-    touch frame clipping (edge tiles break the floor(row+f)=row+floor(f)
-    identity the diagonal indexing relies on — the patch pass owns them)."""
+    offset AND interior negative deviation (vertical shrink) are absorbed;
+    the kernel rolls its window by ``ymin - by`` so the diagonal loop only
+    spans the flow VARIATION: a tile fits when ``dymax - dymin <= wh - 16``
+    (the roll wrap bound for every alignment phase), its x span sits in the
+    window, and it doesn't touch frame clipping (edge tiles break the
+    floor(row+f)=row+floor(f) identity — the patch pass owns them). Callers
+    pad the planes by wh-8 extra bottom rows so ``by`` is never clipped down
+    for real tiles. Returns (ymin, by, bx, fits), flattened."""
     ymin, ymax, xmin, xmax, dymin, dymax, edge = spans
     wh = min(wh, h)
     ww = min(ww, w)
-    gh = dymin.shape[1]
-    row0 = (jnp.arange(gh, dtype=jnp.int32) * TILE_H)[None, :, None]
     by = jnp.clip((ymin // TILE_H) * TILE_H, 0, max(h - wh, 0))
     bx = jnp.clip((xmin // TILE_W) * TILE_W, 0, max(w - ww, 0))
-    # the max diagonal the kernel can reach is wh-8 (slice d:d+8); tap1 needs
-    # dymax+1. Callers pad the planes by wh-8 extra bottom rows so ``by`` is
-    # never clipped down for real tiles (which would inflate the needed
-    # diagonal past the reachable range).
     fits = (
         jnp.logical_not(edge)
-        & (row0 + dymax + 1 - by <= wh - TILE_H)
+        & (ymin - by >= 0)
+        & (ymin - by <= TILE_H - 1)
+        & (dymax - dymin <= wh - 2 * TILE_H)
         & (xmax - bx <= ww - 1)
     )
-    return by.reshape(-1), bx.reshape(-1), fits.reshape(-1)
+    ymin_b = jnp.broadcast_to(ymin, fits.shape)
+    return (
+        ymin_b.reshape(-1), by.reshape(-1), bx.reshape(-1), fits.reshape(-1)
+    )
 
 
 def _patch_kernel(
@@ -899,7 +1042,7 @@ def warp_pallas_nhwc_tiered(
     hb, wb = frame_hw or (h, w)
     spans = _tile_spans(fx, fy, h, w, hb, wb)
     wh, ww = K0_WIN
-    by, bx, fits = _diag_bases_fits(spans, wh, ww, h, w, hb, wb)
+    tymin, by, bx, fits = _diag_bases_fits(spans, wh, ww, h, w, hb, wb)
     planes = img.transpose(0, 3, 1, 2)
     ymin, ymax = spans[0].reshape(-1), spans[1].reshape(-1)
     bad = jnp.logical_not(fits).astype(jnp.int32)
@@ -911,7 +1054,7 @@ def warp_pallas_nhwc_tiered(
         # bulk pass (garbage on non-fitting tiles) + in-place exact patch
         bulk = warp_pallas_planes_v2(
             planes_c, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
-            frame_hw=(hb, wb), bases=(by, bx), diag=True,
+            frame_hw=(hb, wb), bases=(tymin, by, bx), diag="roll",
         )
         return _run_patch(
             bulk, planes_c, fx, fy, bad, ymin, ymax, hb, wb, zeros
