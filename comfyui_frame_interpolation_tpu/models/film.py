@@ -191,8 +191,18 @@ def apply(params: Params, x0: Array, x1: Array, timestep=0.5) -> Array:
         for i in range(FUSION_PYRAMID_LEVELS)
     ]
 
-    fwd_warped = [warp(f, fl) for f, fl in zip(to_warp0, bwd_flow)]
-    bwd_warped = [warp(f, fl) for f, fl in zip(to_warp1, fwd_flow)]
+    # both directions in one batched kernel call per level (exact: images are
+    # independent along the batch axis; halves warp dispatches and compiles)
+    fwd_warped = []
+    bwd_warped = []
+    for f0_, f1_, bf, ff in zip(to_warp0, to_warp1, bwd_flow, fwd_flow):
+        nb = f0_.shape[0]
+        both = warp(
+            jnp.concatenate([f0_, f1_], axis=0),
+            jnp.concatenate([bf, ff], axis=0),
+        )
+        fwd_warped.append(both[:nb])
+        bwd_warped.append(both[nb:])
 
     aligned = [
         jnp.concatenate([fw, bw, bf, ff], axis=-1)

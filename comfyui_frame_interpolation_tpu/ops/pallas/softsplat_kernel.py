@@ -21,17 +21,19 @@ matmul per (row-group, chunk, channel): L sums both y-taps, R both x-taps.
 Locality contract: a source pixel's contribution is accumulated by the output
 tile that owns its target, and every tile sees a window spanning
 ``[-(WIN_H-OFF_Y-8), OFF_Y]`` rows and ``(-(WIN_W-OFF_X-128), OFF_X]`` columns
-of displacement around it. With the defaults (64, 384, 24, 128) flows within
-y ∈ [-32, 24] and x ∈ [-128, 128] pixels are splatted exactly; contributions
-from larger displacements are dropped (the CUDA reference places them). The
-dispatcher in ``ops/softsplat.py`` keeps the exact XLA path available
-(``ops_backend: xla`` or out-of-range flows expected).
+of displacement around it. :func:`softsplat_pallas_banded` partitions the
+displacement plane into the base band (fy ∈ [-32, 24), fx ∈ [-128, 128)) plus
+four conditional straight bands reaching fy ∈ [-88, 80) and fx ∈ [-384, 384);
+each source belongs to exactly one band (in-kernel membership mask), so the
+band-pass sum is exact with no double counting. Sources beyond every band are
+handled by ``ops/softsplat.py`` as a masked XLA-scatter residual — there is no
+all-or-nothing fallback.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +66,7 @@ def _splat_kernel(
     off_x: int,
     c: int,
     grid_hw: Tuple[int, int],
+    band: Optional[Tuple[float, float, float, float]] = None,
 ):
     gh, gw = grid_hw
     bi = pl.program_id(0)
@@ -134,6 +137,14 @@ def _splat_kernel(
             ty = sy + fy
             # non-finite flows must not contribute anywhere
             bad = ~(jnp.isfinite(tx) & jnp.isfinite(ty))
+            if band is not None:
+                # displacement-band membership (half-open on the high side in
+                # y, low side closed — bands partition the displacement plane
+                # exactly, so multi-band passes never double-count a source)
+                lo_y, hi_y, lo_x, hi_x = band
+                bad = bad | ~(
+                    (fy >= lo_y) & (fy < hi_y) & (fx >= lo_x) & (fx < hi_x)
+                )
             tx = jnp.where(bad, -1e9, tx)
             ty = jnp.where(bad, -1e9, ty)
             y0 = jnp.floor(ty)
@@ -205,7 +216,7 @@ def _splat_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_h", "win_w", "off_y", "off_x")
+    jax.jit, static_argnames=("win_h", "win_w", "off_y", "off_x", "band")
 )
 def softsplat_pallas_planes(
     vals: Array,  # [B, C, H, W]
@@ -214,6 +225,7 @@ def softsplat_pallas_planes(
     win_w: int = DEF_WIN_W,
     off_y: int = DEF_OFF_Y,
     off_x: int = DEF_OFF_X,
+    band: Optional[Tuple[float, float, float, float]] = None,
 ) -> Array:
     b, c, h, w = vals.shape
     assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
@@ -223,7 +235,7 @@ def softsplat_pallas_planes(
     kernel = functools.partial(
         _splat_kernel,
         h=h, w=w, win_h=win_h, win_w=win_w,
-        off_y=off_y, off_x=off_x, c=c, grid_hw=(gh, gw),
+        off_y=off_y, off_x=off_x, c=c, grid_hw=(gh, gw), band=band,
     )
     return pl.pallas_call(
         kernel,
@@ -260,5 +272,108 @@ def softsplat_pallas(ten_in: Array, ten_flow: Array, **win_kw) -> Array:
     vals = ten_in.transpose(0, 3, 1, 2)
     flow = ten_flow.astype(jnp.float32).transpose(0, 3, 1, 2)
     out = softsplat_pallas_planes(vals, flow, **win_kw)
+    out = out.transpose(0, 2, 3, 1)[:, :h, :w, :]
+    return out.astype(ten_in.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Displacement-banded exact splat: partition the displacement plane into the
+# base window band plus four conditional straight bands (fast vertical or
+# horizontal motion); a source belongs to exactly one band, so summing the
+# band passes is exact. Sources beyond every band (extreme diagonal motion)
+# are counted by the caller and handled with a masked XLA scatter.
+# ---------------------------------------------------------------------------
+
+# (lo_y, hi_y, lo_x, hi_x): half-open [lo, hi) displacement ranges. Window
+# geometry per band: off = hi (exclusive top), width (hi-lo) + tile + bilinear.
+BAND_BASE = (-32.0, 24.0, -128.0, 128.0)
+BANDS_EXTRA = (
+    # fast downward / upward motion at ordinary horizontal displacement
+    (24.0, 80.0, -128.0, 128.0),
+    (-88.0, -32.0, -128.0, 128.0),
+    # fast rightward / leftward motion at ordinary vertical displacement
+    (-32.0, 24.0, 128.0, 384.0),
+    (-32.0, 24.0, -384.0, -128.0),
+)
+
+
+def _band_geometry(band):
+    lo_y, hi_y, lo_x, hi_x = band
+    win_h = int(hi_y - lo_y) + TILE_H
+    win_w = int(hi_x - lo_x) + TILE_W
+    return win_h, win_w, int(hi_y), int(hi_x)
+
+
+def usable_bands(h: int, w: int):
+    """Extra bands whose windows fit an image padded to (h, w)."""
+    hp = h + (-h % TILE_H)
+    wp = w + (-w % TILE_W)
+    out = []
+    for band in BANDS_EXTRA:
+        wh, ww, _, _ = _band_geometry(band)
+        if wh <= hp and ww <= wp:
+            out.append(band)
+    return tuple(out)
+
+
+def band_membership(ten_flow: Array, h: int, w: int):
+    """(per-band presence flags incl. base, remainder mask): a source is in
+    the remainder when no usable band covers it. Non-finite flows belong
+    nowhere (all paths drop them)."""
+    fx = ten_flow[..., 0]
+    fy = ten_flow[..., 1]
+    finite = jnp.isfinite(fx) & jnp.isfinite(fy)
+
+    def in_band(band):
+        lo_y, hi_y, lo_x, hi_x = band
+        return (
+            finite & (fy >= lo_y) & (fy < hi_y) & (fx >= lo_x) & (fx < hi_x)
+        )
+
+    memb = [in_band(BAND_BASE)] + [in_band(b) for b in usable_bands(h, w)]
+    covered = memb[0]
+    for m in memb[1:]:
+        covered = covered | m
+    present = [jnp.any(m) for m in memb]
+    remainder = finite & jnp.logical_not(covered)
+    return present, remainder
+
+
+def softsplat_pallas_banded(ten_in: Array, ten_flow: Array) -> Array:
+    """NHWC forward splat, exact for displacements within the band union
+    (fy in [-88, 80), fx in [-384, 384) around the base window). The caller
+    handles the remainder (see ``ops.softsplat.softsplat_func``).
+
+    The base band always runs; each extra band runs under a ``lax.cond`` on
+    whether any source falls in it. All transposes stay OUTSIDE the conds
+    (a transpose spanning a cond boundary sends XLA layout assignment into
+    multi-GB channel-minor padding — see warp_kernel.py)."""
+    n, h, w, c = ten_in.shape
+    ph = -h % TILE_H
+    pw = -w % TILE_W
+    if ph or pw:
+        ten_in = jnp.pad(ten_in, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        ten_flow = jnp.pad(ten_flow, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    vals = ten_in.transpose(0, 3, 1, 2)
+    flow = ten_flow.astype(jnp.float32).transpose(0, 3, 1, 2)
+
+    present, _ = band_membership(ten_flow, h, w)
+
+    wh, ww, oy, ox = _band_geometry(BAND_BASE)
+    out = softsplat_pallas_planes(
+        vals, flow, win_h=wh, win_w=ww, off_y=oy, off_x=ox, band=BAND_BASE
+    )
+    for k, band in enumerate(usable_bands(h, w)):
+        wh, ww, oy, ox = _band_geometry(band)
+        out = jax.lax.cond(
+            present[k + 1],
+            lambda o, v, f, _band=band, _g=(wh, ww, oy, ox): o
+            + softsplat_pallas_planes(
+                v, f, win_h=_g[0], win_w=_g[1], off_y=_g[2], off_x=_g[3],
+                band=_band,
+            ),
+            lambda o, v, f: o,
+            out, vals, flow,
+        )
     out = out.transpose(0, 2, 3, 1)[:, :h, :w, :]
     return out.astype(ten_in.dtype)

@@ -1063,10 +1063,18 @@ def warp_pallas_nhwc_tiered(
     if c <= cap:
         out = one_chunk(planes)
     else:
+        # EQUAL chunk sizes (zero-padded): every chunk reuses the same
+        # compiled kernel pair per (shape, mode) instead of compiling one
+        # variant per remainder width — FILM's 67/195-channel pyramid warps
+        # were compile-bound otherwise
+        n_ch = -(-c // cap)
+        c_pad = n_ch * cap
+        if c_pad != c:
+            planes = jnp.pad(planes, ((0, 0), (0, c_pad - c), (0, 0), (0, 0)))
         out = jnp.concatenate(
-            [one_chunk(planes[:, i : i + cap]) for i in range(0, c, cap)],
+            [one_chunk(planes[:, i : i + cap]) for i in range(0, c_pad, cap)],
             axis=1,
-        )
+        )[:, :c]
     return out.transpose(0, 2, 3, 1)
 
 

@@ -38,11 +38,15 @@ __all__ = ["softsplat_func", "softsplat", "function_softsplat"]
 def softsplat_func(ten_in: Array, ten_flow: Array) -> Array:
     """Raw bilinear forward splat (reference ``softsplat_out`` kernel).
 
-    On TPU (ops_backend "pallas") this dispatches to the windowed
-    matmul-scatter kernel (``ops/pallas/softsplat_kernel.py``, ~17x faster
-    than the XLA scatter at 1080p) guarded by a runtime flow-range check:
-    batches containing displacements beyond the kernel's window contract
-    fall back to the exact XLA scatter via ``lax.cond``."""
+    On TPU (ops_backend "pallas") this runs the displacement-banded
+    matmul-scatter kernel (``ops/pallas/softsplat_kernel.py``): the base band
+    always runs and covers fy ∈ [-32, 24), fx ∈ [-128, 128); four extra band
+    passes engage via ``lax.cond`` for fast vertical (fy up to [-88, 80)) or
+    horizontal (fx up to [-384, 384)) motion. Only sources OUTSIDE every band
+    (extreme diagonal motion) take the dense XLA scatter, as a masked
+    *residual* added to the kernel result — never an all-or-nothing
+    whole-batch fallback. ``CFI_TPU_SPLAT=pallas`` skips the residual (drops
+    out-of-band sources); ``=xla`` forces the scatter path."""
     from .warp import _backend
 
     n, h, w, c = ten_in.shape
@@ -55,30 +59,22 @@ def softsplat_func(ten_in: Array, ten_flow: Array) -> Array:
         and c <= 16
     ):
         from .pallas.softsplat_kernel import (
-            DEF_OFF_X, DEF_OFF_Y, DEF_WIN_H, DEF_WIN_W, softsplat_pallas,
+            band_membership, softsplat_pallas_banded,
         )
 
-        fx = ten_flow[..., 0]
-        fy = ten_flow[..., 1]
-        finite = jnp.isfinite(fx) & jnp.isfinite(fy)
-        fx = jnp.where(finite, fx, jnp.inf)
-        fy = jnp.where(finite, fy, jnp.inf)
-        # conservative window-coverage bounds (see kernel docstring); the
-        # non-finite lanes are excluded (both paths drop them)
-        in_range = (
-            jnp.all(jnp.where(finite, fy, 0.0) >= -(DEF_WIN_H - DEF_OFF_Y - 8 - 1))
-            & jnp.all(jnp.where(finite, fy, 0.0) <= DEF_OFF_Y - 1)
-            & jnp.all(jnp.where(finite, fx, 0.0) >= -(DEF_WIN_W - DEF_OFF_X - 128 - 1))
-            & jnp.all(jnp.where(finite, fx, 0.0) <= DEF_OFF_X - 1)
-        )
-        if mode == "pallas":  # forced: skip the range guard (bench/known data)
-            return softsplat_pallas(ten_in, ten_flow)
-        return jax.lax.cond(
-            in_range,
-            lambda a, f: softsplat_pallas(a, f),
-            lambda a, f: _softsplat_xla(a, f),
-            ten_in, ten_flow,
-        )
+        out = softsplat_pallas_banded(ten_in, ten_flow)
+        if mode == "pallas":  # forced: no residual pass (bench/known data)
+            return out
+
+        rem = band_membership(ten_flow, h, w)[1]
+
+        def add_residual(o):
+            # sources outside every band: re-splat ONLY them via the exact
+            # scatter (non-residual sources get non-finite flow → dropped)
+            masked_flow = jnp.where(rem[..., None], ten_flow, jnp.inf)
+            return o + _softsplat_xla(ten_in, masked_flow).astype(o.dtype)
+
+        return jax.lax.cond(jnp.any(rem), add_residual, lambda o: o, out)
     return _softsplat_xla(ten_in, ten_flow)
 
 

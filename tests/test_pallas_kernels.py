@@ -11,9 +11,10 @@ real TPU they assert bit-exactness (or the documented bounded error) of
   exercising both the bulk (24, 384)-window pass and the exact dynamic-slab
   patch pass (discontinuities, extreme random flows), odd shapes, channel
   counts beyond the per-call VMEM caps;
-* ``softsplat_pallas`` vs ``_softsplat_xla`` — in-window flows, the window
-  contract edges, non-finite flows, and the dispatcher's guard→fallback
-  equivalence for out-of-window flows.
+* ``softsplat_pallas`` / ``softsplat_pallas_banded`` vs ``_softsplat_xla`` —
+  in-window flows, the window contract edges, non-finite flows, flows landing
+  in each extra displacement band, and the dispatcher's masked-residual path
+  for beyond-band flows.
 
 Known semantic difference (documented, not a bug): at pixels whose flow is
 non-finite the XLA warp propagates NaN (matching torch ``grid_sample``) while
@@ -203,18 +204,44 @@ class TestSoftsplatPallas:
         ref = self._ref(vals, flow)
         np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
 
-    def test_guard_falls_back_out_of_window(self, rng):
-        # dispatcher semantics: out-of-window flow must produce the exact XLA
-        # result (the lax.cond guard takes the fallback branch)
+    @pytest.mark.parametrize(
+        "disp", [(0.0, 50.0), (0.0, -60.0), (200.0, 0.0), (-200.0, 0.0)]
+    )
+    def test_extra_bands_exact(self, rng, disp):
+        # fast straight motion lands in a conditional band pass, not the
+        # residual: result must match the exact scatter
         from comfyui_frame_interpolation_tpu.ops.softsplat import softsplat_func
 
         prev = os.environ.pop("CFI_TPU_SPLAT", None)
         try:
             vals = jnp.asarray(rng.random((1, 256, 512, 2)), jnp.float32)
-            flow = jnp.full((1, 256, 512, 2), 0.0).at[..., 1].set(-200.0)
+            fx, fy = disp
+            flow = jnp.full((1, 256, 512, 2), 0.0)
+            flow = flow.at[..., 0].set(fx).at[..., 1].set(fy)
+            # plus some in-base-band content mixed in
+            flow = flow.at[:, :64].set(flow[:, :64] * 0 + 2.0)
             out = np.asarray(softsplat_func(vals, flow))
             ref = self._ref(vals, flow)
-            np.testing.assert_allclose(out, ref, atol=1e-5)
+            np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+        finally:
+            if prev is not None:
+                os.environ["CFI_TPU_SPLAT"] = prev
+
+    def test_residual_beyond_bands(self, rng):
+        # extreme diagonal motion: outside every band -> masked XLA residual
+        # must make the total exact
+        from comfyui_frame_interpolation_tpu.ops.softsplat import softsplat_func
+
+        prev = os.environ.pop("CFI_TPU_SPLAT", None)
+        try:
+            vals = jnp.asarray(rng.random((1, 256, 512, 2)), jnp.float32)
+            f = np.zeros((1, 256, 512, 2), np.float32)
+            f[:, 100:120, 200:220] = [200.0, -150.0]  # diagonal, beyond bands
+            f[:, 50:60, 50:60] = [1.5, -2.0]  # ordinary in-band motion
+            flow = jnp.asarray(f)
+            out = np.asarray(softsplat_func(vals, flow))
+            ref = self._ref(vals, flow)
+            np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
         finally:
             if prev is not None:
                 os.environ["CFI_TPU_SPLAT"] = prev
