@@ -9,6 +9,25 @@ window), executed as batched jitted programs with frames resident in HBM.
 are registered as their model families land.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compile cache: Mosaic kernel + XLA compiles at 1080p run minutes
+# each; cache them across processes (repo-local dir; CFI_JAX_CACHE=0 or an
+# explicit JAX_COMPILATION_CACHE_DIR opts out/overrides).
+if _os.environ.get("CFI_JAX_CACHE", "1") == "1" and not _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR"
+):
+    _cache_dir = _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache")
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir", _os.path.abspath(_cache_dir)
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs: run uncached
+        pass
+
 from . import core, ops
 from .nodes import NODE_CLASS_MAPPINGS, NODE_DISPLAY_NAME_MAPPINGS
 

@@ -163,17 +163,26 @@ def apply(params: Params, x0: Array, x1: Array, timestep=0.5) -> Array:
     ``film_arch.py:638-646``); output has the input's shape.
     """
     del timestep
-    pyr0 = [x0]
-    pyr1 = [x1]
+    n = x0.shape[0]
+    # both images ride one batch through the pyramid + feature extractor, and
+    # both flow directions ride one batch through the (weight-shared) pyramid
+    # flow estimator — 2x conv batch (better MXU occupancy at FILM's odd
+    # channel widths) and half the warp/conv dispatches
+    pyr_both = [jnp.concatenate([x0, x1], axis=0)]
     for _ in range(PYRAMID_LEVELS - 1):
-        pyr0.append(avg_pool2d(pyr0[-1], 2, 2))
-        pyr1.append(avg_pool2d(pyr1[-1], 2, 2))
+        pyr_both.append(avg_pool2d(pyr_both[-1], 2, 2))
+    pyr0 = [p[:n] for p in pyr_both]
+    pyr1 = [p[n:] for p in pyr_both]
 
-    feat0 = _extract_features(params["extract"], pyr0)
-    feat1 = _extract_features(params["extract"], pyr1)
+    feat_both = _extract_features(params["extract"], pyr_both)
+    feat0 = [f[:n] for f in feat_both]
+    feat1 = [f[n:] for f in feat_both]
 
-    fwd_res = _predict_flow(params["predict_flow"], feat0, feat1)
-    bwd_res = _predict_flow(params["predict_flow"], feat1, feat0)
+    pa = [jnp.concatenate([f0_, f1_], axis=0) for f0_, f1_ in zip(feat0, feat1)]
+    pb = [jnp.concatenate([f1_, f0_], axis=0) for f0_, f1_ in zip(feat0, feat1)]
+    res_both = _predict_flow(params["predict_flow"], pa, pb)
+    fwd_res = [r[:n] for r in res_both]
+    bwd_res = [r[n:] for r in res_both]
 
     fwd_flow = _flow_pyramid_synthesis(fwd_res)[:FUSION_PYRAMID_LEVELS]
     bwd_flow = _flow_pyramid_synthesis(bwd_res)[:FUSION_PYRAMID_LEVELS]
@@ -218,6 +227,12 @@ def make_model_fn(params: Params, dtype=jnp.float32):
     their native resolution — the pyramid handles arbitrary sizes because every
     upsample resizes to the recorded finer-level shape — and the result is
     clamped to [0, 1] (``film/__init__.py:39``).
+
+    No per-pair reuse split exists for FILM (unlike GMFSS/M2M/EISAI): its
+    schedule is midpoint BISECTION (``plan_bisection``) and the arch always
+    interpolates t=0.5 internally, so every call has DIFFERENT endpoints
+    (midpoints of midpoints) — there is no timestep-invariant per-pair state
+    to share.
     """
     params = cast_params(params, dtype)
 

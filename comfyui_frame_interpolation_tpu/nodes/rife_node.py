@@ -48,6 +48,10 @@ class RIFE_VFI:
                 "ensemble": ("BOOLEAN", {"default": True}),
                 "scale_factor": ([0.25, 0.5, 1.0, 2.0, 4.0], {"default": 1.0}),
                 "dtype": (DTYPE_OPTIONS, {"default": "float32"}),
+                # reference input (rife/__init__.py:53-58) kept for drop-in
+                # graph parity; accepted and ignored — every model here is
+                # always XLA-jit-compiled, the thing torch.compile opts into
+                "torch_compile": ("BOOLEAN", {"default": False}),
                 "batch_size": ("INT", {"default": 1, "min": 1, "max": 64}),
             },
             "optional": {

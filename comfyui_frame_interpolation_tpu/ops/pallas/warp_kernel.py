@@ -854,13 +854,20 @@ def _patch_kernel(
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     del prev_ref  # only present for the in-place aliasing
-    for wi in range(gw):
+
+    # dynamic loop over the row band's w-tiles: a Python unroll would inline
+    # gw copies of the (already large) slab body and explode Mosaic compile
+    # time at wide C (observed: FILM's c=36 chunks never finished compiling)
+    def body(wi, _):
         _patch_tile(
             bad_ref, ymin_ref, ymax_ref, fx_ref, fy_ref, img_ref, out_ref,
             slab_ref, stage_ref, sem_in, sem_out,
             bi=bi, hi=hi, wi=wi, gh=gh, gw=gw, h=h, w=w, hb=hb, wb=wb, c=c,
             zeros=zeros,
         )
+        return 0
+
+    jax.lax.fori_loop(0, gw, body, 0)
 
 
 def _patch_tile(
@@ -869,11 +876,12 @@ def _patch_tile(
     *, bi, hi, wi, gh, gw, h, w, hb, wb, c, zeros,
 ):
     t = (bi * gh + hi) * gw + wi
+    wx0_off = pl.multiple_of(wi * TILE_W, TILE_W)
 
     @pl.when(bad_ref[t] != 0)
     def _():
-        fx = fx_ref[0, :, wi * TILE_W : (wi + 1) * TILE_W].astype(jnp.float32)
-        fy = fy_ref[0, :, wi * TILE_W : (wi + 1) * TILE_W].astype(jnp.float32)
+        fx = fx_ref[0, :, pl.ds(wx0_off, TILE_W)].astype(jnp.float32)
+        fy = fy_ref[0, :, pl.ds(wx0_off, TILE_W)].astype(jnp.float32)
         ys = (
             jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
             + hi * TILE_H
@@ -972,7 +980,7 @@ def _patch_tile(
         out = pltpu.make_async_copy(
             stage_ref,
             out_ref.at[
-                bi, :, pl.ds(hi * TILE_H, TILE_H), pl.ds(wi * TILE_W, TILE_W)
+                bi, :, pl.ds(hi * TILE_H, TILE_H), pl.ds(wx0_off, TILE_W)
             ],
             sem_out,
         )
@@ -1063,18 +1071,33 @@ def warp_pallas_nhwc_tiered(
     if c <= cap:
         out = one_chunk(planes)
     else:
-        # EQUAL chunk sizes (zero-padded): every chunk reuses the same
-        # compiled kernel pair per (shape, mode) instead of compiling one
-        # variant per remainder width — FILM's 67/195-channel pyramid warps
-        # were compile-bound otherwise
+        # wide features: FOLD equal zero-padded channel chunks into the batch
+        # axis — one kernel-pair launch total (the [B, n, cap, H, W] reshape
+        # is free: chunks are contiguous in C), instead of one launch + layout
+        # copies per chunk. FILM's 960-channel coarse-feature warps ran 144
+        # chunk calls per forward otherwise. Flow/base arrays repeat per
+        # chunk; per-tile flags repeat to match the folded tile order.
         n_ch = -(-c // cap)
         c_pad = n_ch * cap
         if c_pad != c:
             planes = jnp.pad(planes, ((0, 0), (0, c_pad - c), (0, 0), (0, 0)))
-        out = jnp.concatenate(
-            [one_chunk(planes[:, i : i + cap]) for i in range(0, c_pad, cap)],
-            axis=1,
-        )[:, :c]
+        planes_f = planes.reshape(b * n_ch, cap, h, w)
+        rep = lambda a: jnp.repeat(a, n_ch, axis=0)  # noqa: E731
+        fx_f = rep(fx)
+        fy_f = rep(fy)
+        rep_t = lambda a: jnp.repeat(  # noqa: E731
+            a.reshape(b, -1), n_ch, axis=0
+        ).reshape(-1)
+        bulk = warp_pallas_planes_v2(
+            planes_f, fx_f, fy_f, win_h=wh, win_w=ww, zeros=zeros,
+            frame_hw=(hb, wb),
+            bases=(rep_t(tymin), rep_t(by), rep_t(bx)), diag="roll",
+        )
+        out = _run_patch(
+            bulk, planes_f, fx_f, fy_f, rep_t(bad), rep_t(ymin), rep_t(ymax),
+            hb, wb, zeros,
+        )
+        out = out.reshape(b, c_pad, h, w)[:, :c]
     return out.transpose(0, 2, 3, 1)
 
 
