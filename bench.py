@@ -51,6 +51,7 @@ def _rand_frames(batch, height, width, seed=0):
 def bench_rife(height=1080, width=1920, batch=8, iters=10, dtype=jnp.bfloat16):
     from comfyui_frame_interpolation_tpu.models import rife
     from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+    from comfyui_frame_interpolation_tpu.utils.profiling import maybe_profile
 
     params = rife.init_params(jax.random.PRNGKey(0), "4.7")
     model_fn = rife.make_model_fn(
@@ -59,7 +60,8 @@ def bench_rife(height=1080, width=1920, batch=8, iters=10, dtype=jnp.bfloat16):
     f0 = _rand_frames(batch, height, width, 0)
     f1 = _rand_frames(batch, height, width, 1)
     t = jnp.full((batch,), 0.5, jnp.float32)
-    sec_per_call = measure(model_fn, f0, f1, t, iters=iters)
+    with maybe_profile("bench_rife"):
+        sec_per_call = measure(model_fn, f0, f1, t, iters=iters)
     return batch / sec_per_call
 
 
@@ -76,13 +78,15 @@ def _reference_params(arch_builder):
     return to_jax_tree(nest_state_dict(arch_builder().state_dict()))
 
 
-def _measure_pair_model(model_fn, batch, height, width, iters=5):
+def _measure_pair_model(model_fn, batch, height, width, iters=5, tag=None):
     from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+    from comfyui_frame_interpolation_tpu.utils.profiling import maybe_profile
 
     f0 = _rand_frames(batch, height, width, 0)
     f1 = _rand_frames(batch, height, width, 1)
     t = jnp.full((batch,), 0.5, jnp.float32)
-    sec = measure(model_fn, f0, f1, t, iters=iters)
+    with maybe_profile(tag):
+        sec = measure(model_fn, f0, f1, t, iters=iters)
     return batch / sec
 
 
@@ -133,7 +137,8 @@ def bench_film(batch=4):
 
     params = _reference_params(build)
     return _measure_pair_model(
-        film.make_model_fn(params, dtype=jnp.bfloat16), batch, 1080, 1920
+        film.make_model_fn(params, dtype=jnp.bfloat16), batch, 1080, 1920,
+        tag="bench_film",
     )
 
 
@@ -144,16 +149,27 @@ def bench_m2m(batch=2):
     # (fy in [-88, 80), fx in [-384, 384) — exact, no residual), so benchmark
     # the banded kernel path; band/residual EQUIVALENCE is asserted on real
     # flow patterns by tests/test_pallas_kernels.py::TestSoftsplatPallas.
-    os.environ.setdefault("CFI_TPU_SPLAT", "pallas")
-    from comfyui_frame_interpolation_tpu.models import m2m
+    # Set-and-restore so the forced mode doesn't leak into later benchmarks
+    # in the same process (gmfss/eisai also dispatch on CFI_TPU_SPLAT).
+    prev = os.environ.get("CFI_TPU_SPLAT")
+    os.environ["CFI_TPU_SPLAT"] = "pallas"
+    try:
+        from comfyui_frame_interpolation_tpu.models import m2m
 
-    def build():
-        return _load_ref("vfi_models/m2m/M2M_arch.py", "bench_m2m_arch").M2M_PWC()
+        def build():
+            return _load_ref(
+                "vfi_models/m2m/M2M_arch.py", "bench_m2m_arch"
+            ).M2M_PWC()
 
-    params = _reference_params(build)
-    return _measure_pair_model(
-        m2m.make_model_fn(params, dtype=jnp.bfloat16), batch, 1080, 1920
-    )
+        params = _reference_params(build)
+        return _measure_pair_model(
+            m2m.make_model_fn(params, dtype=jnp.bfloat16), batch, 1080, 1920
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("CFI_TPU_SPLAT", None)
+        else:
+            os.environ["CFI_TPU_SPLAT"] = prev
 
 
 def bench_ifrnet(batch=4):

@@ -25,6 +25,7 @@ sized from the HBM budget rather than a flush cadence.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -32,11 +33,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.profiling import maybe_profile
 from .schedule import Plan, Source, Task
 
 Array = jnp.ndarray
 
 __all__ = ["run_plan", "run_plan_pair_cached", "run_plan_window4"]
+
+
+def _profiled(tag: str):
+    """Wrap an executor in the optional ``CFI_PROFILE`` JAX profiler trace
+    (``utils.profiling``); zero-cost when profiling is off."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with maybe_profile(tag):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
 
 
 def _default_hbm_budget() -> int:
@@ -104,6 +121,7 @@ def _gather(
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
+@_profiled("run_plan")
 def run_plan(
     frames: Array,
     plan: Plan,
@@ -129,7 +147,7 @@ def run_plan(
     """
     budget = hbm_budget_bytes or _default_hbm_budget()
     n, h, w, c = frames.shape
-    frame_bytes = h * w * c * 4
+    frame_bytes = h * w * c * np.dtype(frames.dtype).itemsize
     resident_estimate = (n + len(plan.output) + 4 * batch_size) * frame_bytes
     if resident_estimate > budget:
         return _run_plan_streaming(
@@ -280,6 +298,7 @@ def _run_plan_streaming(
     return out
 
 
+@_profiled("run_plan_window4")
 def run_plan_window4(
     frames: Array,
     plan: Plan,
@@ -311,6 +330,7 @@ def run_plan_window4(
     return out
 
 
+@_profiled("run_plan_pair_cached")
 def run_plan_pair_cached(
     frames: Array,
     plan: Plan,

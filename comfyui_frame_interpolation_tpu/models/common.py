@@ -92,6 +92,20 @@ def conv2d(
     else:
         ph, pw = _pair(padding)
         pad_cfg = ((ph, ph), (pw, pw))
+    sh_, sw_ = _pair(stride)
+    if (
+        (sh_ > 1 or sw_ > 1)
+        and min(x.shape[1], x.shape[2]) <= 16
+        and any(p != (0, 0) for p in pad_cfg)
+    ):
+        # XLA's SPMD partitioner miscomputes the halo exchange for strided
+        # convs with implicit padding when the per-shard spatial extent is ~2
+        # rows (verified: 3x3 s2 p1 on H=4 over a 2-way 'space' axis returns
+        # wrong values; explicit pad + VALID is exact). Coarse pyramid levels
+        # are the only place such tiny spatial dims occur, and there the
+        # explicit pad costs nothing, so route them through pad+VALID.
+        x = jnp.pad(x, ((0, 0), pad_cfg[0], pad_cfg[1], (0, 0)))
+        pad_cfg = ((0, 0), (0, 0))
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -195,24 +209,23 @@ def _down_even_2d(x: Array, sh: int, sw: int) -> Array:
 
     For even factor s the two source taps of output k are rows
     ``s*k + s/2 - 1`` and ``s*k + s/2`` with weight 0.5 each, so the resize is
-    an offset slice + a 2-tap mean — one ``reduce_window`` instead of the
-    gather lowering XLA produces for fancy indexing (~5x faster at 1080p).
-    """
-    oy = sh // 2 - 1 if sh > 1 else 0
-    ox = sw // 2 - 1 if sw > 1 else 0
-    if oy or ox:
-        x = x[:, oy:, ox:, :]
-    wh = 2 if sh > 1 else 1
-    ww = 2 if sw > 1 else 1
-    s = jax.lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        jax.lax.add,
-        (1, wh, ww, 1),
-        (1, sh, sw, 1),
-        "VALID",
-    )
-    return s * jnp.asarray(1.0 / (wh * ww), x.dtype)
+    a mean of ≤4 strided slices — faster than the gather lowering XLA produces
+    for fancy indexing (~5x at 1080p), and, unlike ``lax.reduce_window`` with a
+    traced init value, fully differentiable under sharded ``jit`` (the generic
+    ``reduce_window`` primitive has no linearization rule, which broke the
+    multi-chip train step in round 2 — see parallel/train.py and
+    tests/test_parallel.py)."""
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = h // sh, w // sw
+    taps_y = (sh // 2 - 1, sh // 2) if sh > 1 else (0,)
+    taps_x = (sw // 2 - 1, sw // 2) if sw > 1 else (0,)
+    acc = None
+    for ty in taps_y:
+        rows = jax.lax.slice_in_dim(x, ty, ty + (oh - 1) * sh + 1, sh, axis=1)
+        for tx in taps_x:
+            v = jax.lax.slice_in_dim(rows, tx, tx + (ow - 1) * sw + 1, sw, axis=2)
+            acc = v if acc is None else acc + v
+    return acc * jnp.asarray(1.0 / (len(taps_y) * len(taps_x)), x.dtype)
 
 
 def _up_int_axis(x: Array, axis: int, s: int) -> Array:

@@ -23,7 +23,7 @@ The public entry point :func:`warp_pallas_tiered` is ALWAYS exact vs
 ``lax.cond`` tier ladder made XLA layout assignment materialize channel-minor
 boundary copies padded 18-42x — OOM at 1080p). Two passes:
 
-1. **bulk** — the diagonal-form kernel (``_warp_kernel_diag``) over every
+1. **bulk** — the rolled diagonal-form kernel (``_warp_kernel_diag_roll``) over every
    tile with the ``K0_WIN`` (24, 384) window. It iterates flow-deviation
    diagonals ``d = y0 - m - base`` rather than window rows: the window slice
    ``win[d:d+8]`` maps output sublane m to source row ``base + m + d``
@@ -67,429 +67,6 @@ DEF_WIN_W = 384
 # per-tile bases this covers local flow variation of ≤8 px vertically and
 # ≤128 px horizontally within one (8, 128) tile — virtually all real flows
 K0_WIN = (24, 384)
-
-
-def _row_gather(row_chunks, lx, win_w):
-    """Gather ``row[lx]`` for a [8,128] index tile from a window row held as a
-    list of 128-lane chunks (each already broadcast to [8,128])."""
-    out = jnp.zeros(lx.shape, row_chunks[0].dtype)
-    for ci, chunk in enumerate(row_chunks):
-        base = ci * TILE_W
-        in_chunk = (lx >= base) & (lx < base + TILE_W)
-        local = jnp.clip(lx - base, 0, TILE_W - 1)
-        gathered = jnp.take_along_axis(chunk, local, axis=1)
-        out = jnp.where(in_chunk, gathered, out)
-    return out
-
-
-def _warp_kernel(
-    fx_ref, fy_ref, img_ref, out_ref, win_ref, acc_ref, sem,
-    *, h: int, w: int, win_h: int, win_w: int, c: int, skip_groups: bool
-):
-    bc = pl.program_id(0)
-    hi = pl.program_id(1)
-    wi = pl.program_id(2)
-
-    fx = fx_ref[0].astype(jnp.float32)  # [8, 128]; coords always in f32 —
-    fy = fy_ref[0].astype(jnp.float32)  # bf16 pixel coords are lossy at >256 px
-
-    ys = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + hi * TILE_H
-    ).astype(jnp.float32)
-    xs = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + wi * TILE_W
-    ).astype(jnp.float32)
-
-    sx = jnp.clip(xs + fx, 0.0, w - 1.0)
-    sy = jnp.clip(ys + fy, 0.0, h - 1.0)
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    wx1 = (sx - x0).astype(jnp.float32)
-    wy1 = (sy - y0).astype(jnp.float32)
-
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    # DMA bases must be tile-aligned (8 sublanes / 128 lanes); align down and
-    # rely on the window margin to absorb the lost offset.
-    by = jnp.clip((jnp.min(y0i) // TILE_H) * TILE_H, 0, max(h - win_h, 0))
-    bx = jnp.clip((jnp.min(x0i) // TILE_W) * TILE_W, 0, max(w - win_w, 0))
-    by = pl.multiple_of(by, TILE_H)
-    bx = pl.multiple_of(bx, TILE_W)
-
-    copy = pltpu.make_async_copy(
-        img_ref.at[bc, pl.ds(by, win_h), pl.ds(bx, win_w)], win_ref, sem
-    )
-    copy.start()
-
-    # local tap indices, clamped into the window (edge clamp beyond)
-    ly0 = jnp.clip(y0i - by, 0, win_h - 1)
-    ly1 = jnp.clip(y0i + 1 - by, 0, win_h - 1)
-    lx0 = jnp.clip(x0i - bx, 0, win_w - 1)
-    lx1 = jnp.clip(x0i + 1 - bx, 0, win_w - 1)
-    wx0 = 1.0 - wx1
-
-    copy.wait()
-
-    n_chunks = win_w // TILE_W
-
-    # Fully static unroll over the window rows. Empirically load-bearing Mosaic
-    # codegen facts (all measured on v5e):
-    #  - predication (pl.when), VMEM scratch accumulators, and dynamic row
-    #    loops each drop codegen into a ~6-8x slower path;
-    #  - hoisting the per-chunk masks/indices out of the row loop creates
-    #    long-lived vregs that spill — recompute them per row instead.
-    acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-    for r in range(win_h):
-        wrow = jnp.where(ly0 == r, 1.0 - wy1, 0.0) + jnp.where(ly1 == r, wy1, 0.0)
-        chunks = [
-            jnp.broadcast_to(
-                win_ref[r : r + 1, ci * TILE_W : (ci + 1) * TILE_W],
-                (TILE_H, TILE_W),
-            ).astype(jnp.float32)
-            for ci in range(n_chunks)
-        ]
-        v0 = _row_gather(chunks, lx0, win_w)
-        v1 = _row_gather(chunks, lx1, win_w)
-        acc = acc + wrow * (v0 * wx0 + v1 * wx1)
-
-    out_ref[0] = acc.astype(out_ref.dtype)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("c", "win_h", "win_w", "skip_groups")
-)
-def warp_pallas_planes(
-    planes: Array,
-    fx: Array,
-    fy: Array,
-    c: int,
-    win_h: int = DEF_WIN_H,
-    win_w: int = DEF_WIN_W,
-    skip_groups: bool = True,
-) -> Array:
-    """Warp channel planes ``[B*C, H, W]`` by per-image flows ``fx/fy [B, H, W]``.
-
-    H must be a multiple of 8 and W of 128 (caller pads)."""
-    p, h, w = planes.shape
-    b = fx.shape[0]
-    assert p == b * c, (p, b, c)
-    assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
-    win_h = min(win_h, h)
-    win_w = min(win_w, w)
-    if w < TILE_W:
-        raise ValueError("width must be >= 128 for the pallas warp")
-
-    grid = (p, h // TILE_H, w // TILE_W)
-    kernel = functools.partial(
-        _warp_kernel, h=h, w=w, win_h=win_h, win_w=win_w, c=c,
-        skip_groups=skip_groups,
-    )
-    flow_spec = pl.BlockSpec(
-        (1, TILE_H, TILE_W),
-        lambda bc, hi, wi: (bc // c, hi, wi),
-        memory_space=pltpu.VMEM,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            flow_spec,
-            flow_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full planes stay in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (1, TILE_H, TILE_W),
-            lambda bc, hi, wi: (bc, hi, wi),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((p, h, w), planes.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((win_h, win_w), planes.dtype),
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(fx, fy, planes)
-
-
-def warp_pallas(
-    img: Array,
-    flow: Array,
-    win_h: int = DEF_WIN_H,
-    win_w: int = DEF_WIN_W,
-    skip_groups: bool = True,
-) -> Array:
-    """NHWC warp with border semantics via the Pallas kernel.
-
-    Pads H to a multiple of 8 and W to a multiple of 128 (edge replicate, so
-    border clamping against the padded extent equals clamping against the true
-    extent), warps channel planes, crops back.
-    """
-    b, h, w, c = img.shape
-    ph = -h % TILE_H
-    pw = -w % TILE_W
-    if ph or pw or w < TILE_W:
-        pw = max(pw, TILE_W - w)
-        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-    planes = img.transpose(0, 3, 1, 2).reshape(b * c, img.shape[1], img.shape[2])
-    out = warp_pallas_planes(
-        planes, flow[..., 0], flow[..., 1], c, win_h=win_h, win_w=win_w,
-        skip_groups=skip_groups,
-    )
-    out = out.reshape(b, c, img.shape[1], img.shape[2]).transpose(0, 2, 3, 1)
-    return out[:, :h, :w, :]
-
-
-# ---------------------------------------------------------------------------
-# v2: per-image grid, in-kernel channel loop, scalar-prefetched window bases,
-# double-buffered window DMA (hides the per-tile DMA latency that floors v1)
-# ---------------------------------------------------------------------------
-
-
-def _warp_kernel_v2(
-    by_ref, bx_ref,  # scalar-prefetched window bases [T]
-    fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
-    *, h: int, w: int, win_h: int, win_w: int, c: int,
-    grid_hw: Tuple[int, int], zeros: bool = False
-):
-    gh, gw = grid_hw
-    bi = pl.program_id(0)
-    hi = pl.program_id(1)
-    wi = pl.program_id(2)
-    t = (bi * gh + hi) * gw + wi
-    n_tiles = pl.num_programs(0) * gh * gw
-
-    def start_dma(tile_idx, slot):
-        b_k = tile_idx // (gh * gw)
-        by = pl.multiple_of(by_ref[tile_idx], TILE_H)
-        bx = pl.multiple_of(bx_ref[tile_idx], TILE_W)
-        return pltpu.make_async_copy(
-            img_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
-            win_ref.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(t == 0)
-    def _():
-        start_dma(0, 0).start()
-
-    @pl.when(t + 1 < n_tiles)
-    def _():
-        start_dma(t + 1, (t + 1) % 2).start()
-
-    fx = fx_ref[0].astype(jnp.float32)
-    fy = fy_ref[0].astype(jnp.float32)
-    ys = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0) + hi * TILE_H
-    ).astype(jnp.float32)
-    xs = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + wi * TILE_W
-    ).astype(jnp.float32)
-    if zeros:
-        # zeros padding: taps keep their true (unclamped) coords; out-of-frame
-        # taps get zero weight. Non-finite coords are pushed out of frame.
-        sx = xs + fx
-        sy = ys + fy
-        finite = jnp.isfinite(sx) & jnp.isfinite(sy)
-        sx = jnp.where(finite, sx, -4.0 * w)
-        sy = jnp.where(finite, sy, -4.0 * h)
-        sx = jnp.clip(sx, -2.0 * w, 2.0 * w)  # keep int32 conversion safe
-        sy = jnp.clip(sy, -2.0 * h, 2.0 * h)
-    else:
-        sx = jnp.clip(xs + fx, 0.0, w - 1.0)
-        sy = jnp.clip(ys + fy, 0.0, h - 1.0)
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    wx1 = sx - x0
-    wy1 = sy - y0
-    wx0 = 1.0 - wx1
-    if zeros:
-        vx0 = (x0 >= 0.0) & (x0 <= w - 1.0)
-        vx1 = (x0 + 1.0 >= 0.0) & (x0 + 1.0 <= w - 1.0)
-        vy0 = (y0 >= 0.0) & (y0 <= h - 1.0)
-        vy1 = (y0 + 1.0 >= 0.0) & (y0 + 1.0 <= h - 1.0)
-        wx0 = jnp.where(vx0, wx0, 0.0)
-        wx1 = jnp.where(vx1, wx1, 0.0)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    by = pl.multiple_of(by_ref[t], TILE_H)
-    bx = pl.multiple_of(bx_ref[t], TILE_W)
-    ly0 = jnp.clip(y0i - by, 0, win_h - 1)
-    ly1 = jnp.clip(y0i + 1 - by, 0, win_h - 1)
-    lx0 = jnp.clip(x0i - bx, 0, win_w - 1)
-    lx1 = jnp.clip(x0i + 1 - bx, 0, win_w - 1)
-
-    start_dma(t, t % 2).wait()
-    slot = t % 2
-    n_chunks = win_w // TILE_W
-
-    # lx0/lx1 are row-invariant: hoist each tap's per-chunk local index and
-    # in-range mask to tile level instead of recomputing them for every
-    # (row, channel) — the inner loop is then just gather+select+fma.
-    tap_meta = []
-    for lx in (lx0, lx1):
-        metas = []
-        for ci in range(n_chunks):
-            base = ci * TILE_W
-            in_chunk = (lx >= base) & (lx < base + TILE_W)
-            local = jnp.clip(lx - base, 0, TILE_W - 1)
-            metas.append((local, in_chunk))
-        tap_meta.append(metas)
-
-    if zeros:
-        wy0m = jnp.where(vy0, 1.0 - wy1, 0.0)
-        wy1m = jnp.where(vy1, wy1, 0.0)
-    else:
-        wy0m = 1.0 - wy1
-        wy1m = wy1
-    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
-    for r in range(win_h):
-        wrow = jnp.where(ly0 == r, wy0m, 0.0) + jnp.where(ly1 == r, wy1m, 0.0)
-        wr0 = wrow * wx0
-        wr1 = wrow * wx1
-        for ch in range(c):
-            chunks = [
-                jnp.broadcast_to(
-                    win_ref[slot, ch, r : r + 1, ci * TILE_W : (ci + 1) * TILE_W],
-                    (TILE_H, TILE_W),
-                ).astype(jnp.float32)
-                for ci in range(n_chunks)
-            ]
-            vals = []
-            for metas in tap_meta:
-                v = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                for ci, (local, in_chunk) in enumerate(metas):
-                    g = jnp.take_along_axis(chunks[ci], local, axis=1)
-                    v = jnp.where(in_chunk, g, v)
-                vals.append(v)
-            accs[ch] = accs[ch] + wr0 * vals[0] + wr1 * vals[1]
-
-    for ch in range(c):
-        out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
-
-
-def _warp_kernel_diag(
-    by_ref, bx_ref,  # scalar-prefetched window bases [T]
-    fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
-    *, h: int, w: int, win_h: int, win_w: int, c: int,
-    grid_hw: Tuple[int, int], zeros: bool = False
-):
-    """Diagonal-form bulk kernel: iterate over flow-deviation diagonals
-    ``d = y0 - m - by`` (m = output sublane) instead of window rows. The
-    window slice ``win[d : d+8]`` maps sublane m to source row ``m + d + by``
-    directly — a natural [8, 128] block, no per-row broadcast — and for
-    locally smooth flow only ``variation + alignment + 2`` diagonals carry
-    weight vs ``8 + variation + alignment`` rows in the row-form kernel.
-    Bases are ``align8(min(y0 - m))``; tiles with negative deviation (frame-
-    edge clamping, vertical shrink >1 px/row) don't fit and go to the patch
-    pass."""
-    gh, gw = grid_hw
-    bi = pl.program_id(0)
-    hi = pl.program_id(1)
-    wi = pl.program_id(2)
-    t = (bi * gh + hi) * gw + wi
-    n_tiles = pl.num_programs(0) * gh * gw
-
-    def start_dma(tile_idx, slot):
-        b_k = tile_idx // (gh * gw)
-        by = pl.multiple_of(by_ref[tile_idx], TILE_H)
-        bx = pl.multiple_of(bx_ref[tile_idx], TILE_W)
-        return pltpu.make_async_copy(
-            img_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
-            win_ref.at[slot],
-            sem.at[slot],
-        )
-
-    @pl.when(t == 0)
-    def _():
-        start_dma(0, 0).start()
-
-    @pl.when(t + 1 < n_tiles)
-    def _():
-        start_dma(t + 1, (t + 1) % 2).start()
-
-    fx = fx_ref[0].astype(jnp.float32)
-    fy = fy_ref[0].astype(jnp.float32)
-    miota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    ys = (miota + hi * TILE_H).astype(jnp.float32)
-    xs = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + wi * TILE_W
-    ).astype(jnp.float32)
-    if zeros:
-        sx = xs + fx
-        sy = ys + fy
-        finite = jnp.isfinite(sx) & jnp.isfinite(sy)
-        sx = jnp.where(finite, sx, -4.0 * w)
-        sy = jnp.where(finite, sy, -4.0 * h)
-        sx = jnp.clip(sx, -2.0 * w, 2.0 * w)
-        sy = jnp.clip(sy, -2.0 * h, 2.0 * h)
-    else:
-        sx = jnp.clip(xs + fx, 0.0, w - 1.0)
-        sy = jnp.clip(ys + fy, 0.0, h - 1.0)
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    wx1 = sx - x0
-    wy1 = sy - y0
-    wx0 = 1.0 - wx1
-    if zeros:
-        vx0 = (x0 >= 0.0) & (x0 <= w - 1.0)
-        vx1 = (x0 + 1.0 >= 0.0) & (x0 + 1.0 <= w - 1.0)
-        vy0 = (y0 >= 0.0) & (y0 <= h - 1.0)
-        vy1 = (y0 + 1.0 >= 0.0) & (y0 + 1.0 <= h - 1.0)
-        wx0 = jnp.where(vx0, wx0, 0.0)
-        wx1 = jnp.where(vx1, wx1, 0.0)
-        wy0m = jnp.where(vy0, 1.0 - wy1, 0.0)
-        wy1m = jnp.where(vy1, wy1, 0.0)
-    else:
-        wy0m = 1.0 - wy1
-        wy1m = wy1
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    by = pl.multiple_of(by_ref[t], TILE_H)
-    bx = pl.multiple_of(bx_ref[t], TILE_W)
-    # diagonal deviation vs the ABSOLUTE window base (window row m + d holds
-    # source row by + m + d); out-of-range values simply match no diagonal
-    dy0 = jnp.clip(y0i - miota - by, -1, win_h)
-    lx0 = jnp.clip(x0i - bx, -1, win_w)
-    lx1 = jnp.clip(x0i + 1 - bx, -1, win_w)
-
-    start_dma(t, t % 2).wait()
-    slot = t % 2
-    n_chunks = win_w // TILE_W
-
-    # per-chunk local indices with the membership mask folded into the
-    # per-tap x-weights (hoisted to tile level; d-invariant)
-    tap_meta = []
-    for lx, wxm in ((lx0, wx0), (lx1, wx1)):
-        metas = []
-        for ci in range(n_chunks):
-            base = ci * TILE_W
-            in_chunk = (lx >= base) & (lx < base + TILE_W)
-            local = jnp.clip(lx - base, 0, TILE_W - 1)
-            metas.append((local, jnp.where(in_chunk, wxm, 0.0)))
-        tap_meta.append(metas)
-
-    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
-    for d in range(win_h - TILE_H + 1):
-        wd = jnp.where(dy0 == d, wy0m, 0.0) + jnp.where(dy0 == d - 1, wy1m, 0.0)
-        for ci in range(n_chunks):
-            l0, w0c = tap_meta[0][ci]
-            l1, w1c = tap_meta[1][ci]
-            wd0 = wd * w0c
-            wd1 = wd * w1c
-            for ch in range(c):
-                blk = win_ref[
-                    slot, ch, d : d + TILE_H, ci * TILE_W : (ci + 1) * TILE_W
-                ].astype(jnp.float32)
-                v0 = jnp.take_along_axis(blk, l0, axis=1)
-                v1 = jnp.take_along_axis(blk, l1, axis=1)
-                accs[ch] = accs[ch] + wd0 * v0 + wd1 * v1
-
-    for ch in range(c):
-        out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
 
 
 def _warp_kernel_diag_roll(
@@ -617,19 +194,21 @@ def _warp_kernel_diag_roll(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw", "diag")
+    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw")
 )
 def warp_pallas_planes_v2(
     planes: Array,  # [B, C, H, W]
     fx: Array,
     fy: Array,
+    bases: Tuple[Array, Array, Array],  # (ymin, by, bx): roll shift = ymin - by
     win_h: int = DEF_WIN_H,
     win_w: int = DEF_WIN_W,
     zeros: bool = False,
     frame_hw: Optional[Tuple[int, int]] = None,
-    bases: Optional[Tuple[Array, Array]] = None,
-    diag: bool = False,
 ) -> Array:
+    """Bulk pass: the rolled diagonal kernel over every tile, with per-tile
+    window bases from :func:`_diag_bases_fits` (garbage on non-fitting tiles —
+    the patch pass rewrites those)."""
     b, c, h, w = planes.shape
     # true frame bounds for clamping/validity (the array may be padded)
     hb, wb = frame_hw or (h, w)
@@ -638,34 +217,10 @@ def warp_pallas_planes_v2(
     win_w = min(win_w, w)
     gh, gw = h // TILE_H, w // TILE_W
 
-    if diag == "roll":
-        assert bases is not None and len(bases) == 3
-        by = bx = None  # unpacked below
-    elif bases is not None:
-        by, bx = bases
-    else:
-        # per-tile aligned window bases, computed as a cheap XLA reduction
-        y0 = jnp.floor(jnp.clip(
-            jnp.arange(h, dtype=fy.dtype)[None, :, None] + fy, 0.0, hb - 1.0
-        )).astype(jnp.int32)
-        x0 = jnp.floor(jnp.clip(
-            jnp.arange(w, dtype=fx.dtype)[None, None, :] + fx, 0.0, wb - 1.0
-        )).astype(jnp.int32)
-        by = jnp.min(y0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
-        bx = jnp.min(x0.reshape(b, gh, TILE_H, gw, TILE_W), axis=(2, 4))
-        by = jnp.clip((by // TILE_H) * TILE_H, 0, max(h - win_h, 0)).reshape(-1)
-        bx = jnp.clip((bx // TILE_W) * TILE_W, 0, max(w - win_w, 0)).reshape(-1)
-
-    if diag == "roll":
-        # bases must be (ymin, by, bx): the roll shift is ymin - by
-        ymin, by, bx = bases
-        kern_fn = _warp_kernel_diag_roll
-        prefetch = (ymin, by, bx)
-    else:
-        kern_fn = _warp_kernel_diag if diag else _warp_kernel_v2
-        prefetch = (by, bx)
+    assert len(bases) == 3
+    prefetch = tuple(bases)
     kernel = functools.partial(
-        kern_fn,
+        _warp_kernel_diag_roll,
         h=hb, w=wb, win_h=win_h, win_w=win_w, c=c,
         grid_hw=(gh, gw), zeros=zeros,
     )
@@ -696,26 +251,6 @@ def warp_pallas_planes_v2(
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), planes.dtype),
     )(*prefetch, fx, fy, planes)
 
-
-def warp_pallas_v2(
-    img: Array, flow: Array, win_h: int = DEF_WIN_H, win_w: int = DEF_WIN_W,
-    zeros: bool = False,
-) -> Array:
-    """NHWC warp (border or zeros padding) via the double-buffered kernel."""
-    b, h, w, c = img.shape
-    ph = -h % TILE_H
-    pw = -w % TILE_W
-    if ph or pw or w < TILE_W:
-        pw = max(pw, TILE_W - w)
-        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-        flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
-    planes = img.transpose(0, 3, 1, 2)
-    out = warp_pallas_planes_v2(
-        planes, flow[..., 0], flow[..., 1], win_h=win_h, win_w=win_w,
-        zeros=zeros, frame_hw=(h, w),
-    )
-    out = out.transpose(0, 2, 3, 1)
-    return out[:, :h, :w, :]
 
 
 # Note: a channel-packed bf16 variant (two bf16 channels per int32 lane, one
@@ -786,18 +321,6 @@ def _tile_spans(fx, fy, h, w, hb, wb):
         dymin, dymax, edge,
     )
 
-
-def _bases_fits(spans, wh, ww, h, w, hb, wb):
-    """Aligned window bases + per-tile fit flags for the ROW-form kernel.
-    Span extents are tap-inclusive and frame-clipped (see _tile_spans), so
-    edge tiles fit whenever their clipped extent sits inside the window."""
-    ymin, ymax, xmin, xmax = spans[:4]
-    wh = min(wh, h)
-    ww = min(ww, w)
-    by = jnp.clip((ymin // TILE_H) * TILE_H, 0, max(h - wh, 0))
-    bx = jnp.clip((xmin // TILE_W) * TILE_W, 0, max(w - ww, 0))
-    fits = (ymax - by <= wh - 1) & (xmax - bx <= ww - 1)
-    return by.reshape(-1), bx.reshape(-1), fits.reshape(-1)
 
 
 def _diag_bases_fits(spans, wh, ww, h, w, hb, wb):
@@ -1062,7 +585,7 @@ def warp_pallas_nhwc_tiered(
         # bulk pass (garbage on non-fitting tiles) + in-place exact patch
         bulk = warp_pallas_planes_v2(
             planes_c, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
-            frame_hw=(hb, wb), bases=(tymin, by, bx), diag="roll",
+            frame_hw=(hb, wb), bases=(tymin, by, bx),
         )
         return _run_patch(
             bulk, planes_c, fx, fy, bad, ymin, ymax, hb, wb, zeros
@@ -1091,7 +614,7 @@ def warp_pallas_nhwc_tiered(
         bulk = warp_pallas_planes_v2(
             planes_f, fx_f, fy_f, win_h=wh, win_w=ww, zeros=zeros,
             frame_hw=(hb, wb),
-            bases=(rep_t(tymin), rep_t(by), rep_t(bx)), diag="roll",
+            bases=(rep_t(tymin), rep_t(by), rep_t(bx)),
         )
         out = _run_patch(
             bulk, planes_f, fx_f, fy_f, rep_t(bad), rep_t(ymin), rep_t(ymax),

@@ -158,10 +158,11 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
     ):
         from .pallas.warp_kernel import warp_pallas_tiered
 
-        # always-exact tiered dispatch: smooth flows run the small cheap
-        # window, larger local variation climbs the ladder, pathological
-        # flows fall back to the XLA gather (see warp_kernel.py); channel
-        # chunking beyond the per-tier VMEM caps is handled inside
+        # always-exact two-pass scheme: a fixed-window diagonal bulk kernel
+        # covers in-window samples, then an in-place patch pass rewrites the
+        # (rare) pixels whose samples fell outside the window — no
+        # data-dependent fallback (see warp_kernel.py); channel chunking
+        # beyond the per-pass VMEM caps is handled inside
         return warp_pallas_tiered(img, flow, zeros=padding_mode == "zeros")
     return warp_xla(img, flow, padding_mode)
 

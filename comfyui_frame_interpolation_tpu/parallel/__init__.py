@@ -1,2 +1,18 @@
-from .mesh import make_mesh
-from .train import make_train_step, l1_loss
+from .mesh import (
+    MIN_ROWS_PER_SHARD,
+    data_sharding,
+    frame_sharding,
+    make_mesh,
+    replicated,
+)
+from .train import l1_loss, make_train_step
+
+__all__ = [
+    "MIN_ROWS_PER_SHARD",
+    "data_sharding",
+    "frame_sharding",
+    "make_mesh",
+    "replicated",
+    "l1_loss",
+    "make_train_step",
+]
