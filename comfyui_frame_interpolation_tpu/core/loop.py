@@ -97,6 +97,53 @@ class _Progress:
             )
 
 
+class _OrigLRU:
+    """Bounded device-resident cache of original frames for the streaming
+    executors (the TPU version of the reference's per-pair ``.to(DEVICE)``,
+    ``vfi_utils.py:205-216``, amortized: window/pair overlap means most lookups
+    hit the cache)."""
+
+    def __init__(self, frames_np: np.ndarray, max_resident: int):
+        self.frames_np = frames_np
+        self.max_resident = max_resident
+        self.cache: Dict[int, Array] = {}
+        self.lru: List[int] = []
+
+    def get(self, idx: int) -> Array:
+        if idx in self.cache:
+            self.lru.remove(idx)
+            self.lru.append(idx)
+            return self.cache[idx]
+        arr = jax.device_put(self.frames_np[idx])
+        self.cache[idx] = arr
+        self.lru.append(idx)
+        while len(self.cache) > self.max_resident:
+            del self.cache[self.lru.pop(0)]
+        return arr
+
+
+class _StreamOut:
+    """Async device→host collector for produced frames: each add() starts the
+    D2H copy immediately; flush() drains completed copies, keeping a bounded
+    number in flight for transfer/compute overlap."""
+
+    def __init__(self):
+        self.in_flight: List = []
+        self.host: Dict[int, np.ndarray] = {}
+
+    def add(self, task_id: int, arr: Array) -> None:
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:
+            pass
+        self.in_flight.append((task_id, arr))
+
+    def flush(self, keep_last: int = 0) -> None:
+        while len(self.in_flight) > keep_last:
+            tid, arr = self.in_flight.pop(0)
+            self.host[tid] = np.asarray(arr)
+
+
 def _gather(
     frames: Array, produced: Dict[int, Array], sources: Sequence[Source]
 ) -> Array:
@@ -305,16 +352,36 @@ def run_plan_window4(
     model_fn: Callable[[Array, Array, Array, Array], Array],
     batch_size: int = 4,
     out_dtype=None,
+    hbm_budget_bytes: Optional[int] = None,
 ) -> Array:
     """Execute a :func:`~.schedule.plan_window4` plan.
 
     ``model_fn(f0, f1, f2, f3) -> mid`` consumes ``[B, H, W, C]`` batches of the four
     window frames (window start = ``task.pair``) and returns the frame interpolated
     between ``f1`` and ``f2``.
+
+    Long clips exceeding ``hbm_budget_bytes`` stream like :func:`run_plan`:
+    originals live on the host with a device LRU window (consecutive windows
+    overlap 3 frames, so the cache hits), outputs copy back asynchronously.
+    STMFNet/FLAVR are exactly the heavy-footprint models where the reference's
+    per-window loop survives long clips (``stmfnet/__init__.py:58-70``); this
+    keeps that property with batching intact.
     """
+    budget = hbm_budget_bytes or _default_hbm_budget()
+    n_frames, h, w, c = frames.shape
+    frame_bytes = h * w * c * np.dtype(frames.dtype).itemsize
+    resident_estimate = (
+        n_frames + len(plan.output) + 5 * batch_size
+    ) * frame_bytes
+    if resident_estimate > budget:
+        return _run_plan_window4_streaming(
+            np.asarray(frames), plan, model_fn, batch_size, out_dtype,
+            max_resident=max(4 * batch_size + 4, budget // (4 * frame_bytes)),
+        )
     frames = jnp.asarray(frames)
     produced: Dict[int, Array] = {}
     tasks = plan.tasks
+    progress = _Progress("run_plan_window4", len(tasks))
     for start in range(0, len(tasks), batch_size):
         chunk = tasks[start : start + batch_size]
         n = len(chunk)
@@ -324,10 +391,65 @@ def run_plan_window4(
         mids = model_fn(*windows)
         for i, task in enumerate(chunk):
             produced[task.id] = mids[i]
+        progress.step(n, 0)
     out = _gather(frames, produced, plan.output)
+    progress.finish(len(plan.output))
     if out_dtype is not None:
         out = out.astype(out_dtype)
     return out
+
+
+def _run_plan_window4_streaming(
+    frames_np: np.ndarray,
+    plan: Plan,
+    model_fn: Callable[[Array, Array, Array, Array], Array],
+    batch_size: int,
+    out_dtype,
+    max_resident: int,
+) -> np.ndarray:
+    """Bounded-HBM window4 execution; bit-identical to the resident path (same
+    chunking and batch shapes, so the same jitted executable runs)."""
+    orig = _OrigLRU(frames_np, max_resident)
+    outs = _StreamOut()
+    tasks = plan.tasks
+    progress = _Progress("run_plan_window4[streaming]", len(tasks))
+    for start in range(0, len(tasks), batch_size):
+        chunk = tasks[start : start + batch_size]
+        n = len(chunk)
+        starts = [t.pair for t in chunk] + [chunk[0].pair] * (batch_size - n)
+        windows = [
+            jnp.stack([orig.get(p + k) for p in starts]) for k in range(4)
+        ]
+        mids = model_fn(*windows)
+        for i, task in enumerate(chunk):
+            outs.add(task.id, mids[i])
+        outs.flush(keep_last=batch_size)
+        progress.step(n, 0)
+    outs.flush(keep_last=0)
+    progress.finish(len(plan.output))
+
+    np_dtype = np.dtype(out_dtype) if out_dtype is not None else frames_np.dtype
+    out = np.empty((len(plan.output),) + frames_np.shape[1:], np_dtype)
+    for i, (kind, idx) in enumerate(plan.output):
+        out[i] = frames_np[idx] if kind == "orig" else outs.host[idx]
+    return out
+
+
+def _pair_groups(plan: Plan):
+    """Group a flat plan's tasks by endpoint pair (first-appearance order),
+    bucketed by timestep count so every (bucket, chunk) has a static shape."""
+    order: List[tuple] = []
+    groups: Dict[tuple, List[Task]] = {}
+    for task in plan.tasks:
+        key = (task.src0, task.src1)
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(task)
+    by_count: Dict[int, List[tuple]] = {}
+    for key in order:
+        by_count.setdefault(len(groups[key]), []).append(key)
+    return groups, by_count
 
 
 @_profiled("run_plan_pair_cached")
@@ -338,6 +460,7 @@ def run_plan_pair_cached(
     infer_fn: Callable[[Array, Array, object, Array], Array],
     batch_size: int = 8,
     out_dtype=None,
+    hbm_budget_bytes: Optional[int] = None,
 ) -> Array:
     """Execute a single-level (timestep-mode) plan with per-pair caching.
 
@@ -348,25 +471,28 @@ def run_plan_pair_cached(
     timestep). Falls back to per-task semantics exactly: tasks are grouped by
     endpoint pair, pairs bucketed by their timestep count so batch shapes stay
     static.
+
+    Long clips exceeding ``hbm_budget_bytes`` stream (host-resident clip,
+    device LRU of originals, async D2H of outputs) — GMFSS/M2M/EISAI carry the
+    heaviest per-pair state, so bounding residency matters most here (the
+    reference's analog is its per-pair CPU loop, ``vfi_utils.py:205-216``).
     """
-    frames = jnp.asarray(frames)
     assert all(t.depth == 0 for t in plan.tasks), "pair-cached: flat plans only"
+    budget = hbm_budget_bytes or _default_hbm_budget()
+    n_frames, h, w, c = frames.shape
+    frame_bytes = h * w * c * np.dtype(frames.dtype).itemsize
+    resident_estimate = (
+        n_frames + len(plan.output) + 4 * batch_size
+    ) * frame_bytes
+    if resident_estimate > budget:
+        return _run_plan_pair_cached_streaming(
+            np.asarray(frames), plan, reuse_fn, infer_fn, batch_size,
+            out_dtype,
+            max_resident=max(2 * batch_size + 2, budget // (4 * frame_bytes)),
+        )
+    frames = jnp.asarray(frames)
     produced: Dict[int, Array] = {}
-
-    # group tasks by their endpoint pair, in first-appearance order
-    order: List[tuple] = []
-    groups: Dict[tuple, List[Task]] = {}
-    for task in plan.tasks:
-        key = (task.src0, task.src1)
-        if key not in groups:
-            groups[key] = []
-            order.append(key)
-        groups[key].append(task)
-
-    # bucket pairs by mid-count so each (bucket, chunk) has a static shape
-    by_count: Dict[int, List[tuple]] = {}
-    for key in order:
-        by_count.setdefault(len(groups[key]), []).append(key)
+    groups, by_count = _pair_groups(plan)
 
     progress = _Progress("run_plan[pair-cached]", len(plan.tasks))
     for m, keys in sorted(by_count.items()):
@@ -391,4 +517,54 @@ def run_plan_pair_cached(
     progress.finish(len(plan.output))
     if out_dtype is not None:
         out = out.astype(out_dtype)
+    return out
+
+
+def _run_plan_pair_cached_streaming(
+    frames_np: np.ndarray,
+    plan: Plan,
+    reuse_fn: Callable[[Array, Array], object],
+    infer_fn: Callable[[Array, Array, object, Array], Array],
+    batch_size: int,
+    out_dtype,
+    max_resident: int,
+) -> np.ndarray:
+    """Bounded-HBM pair-cached execution; bit-identical to the resident path
+    (same grouping, chunking, and batch shapes). Per-pair caches live only for
+    their chunk's timestep loop, so device residency is O(batch), not O(clip)."""
+    orig = _OrigLRU(frames_np, max_resident)
+    outs = _StreamOut()
+    groups, by_count = _pair_groups(plan)
+
+    def get_src(src: Source) -> Array:
+        kind, idx = src
+        assert kind == "orig"  # flat plans: endpoints are original frames
+        return orig.get(idx)
+
+    progress = _Progress("run_plan[pair-cached,streaming]", len(plan.tasks))
+    for m, keys in sorted(by_count.items()):
+        for start in range(0, len(keys), batch_size):
+            chunk = keys[start : start + batch_size]
+            n = len(chunk)
+            pad = batch_size - n
+            padded = chunk + [chunk[0]] * pad
+            f0 = jnp.stack([get_src(k[0]) for k in padded])
+            f1 = jnp.stack([get_src(k[1]) for k in padded])
+            cache = reuse_fn(f0, f1)
+            for j in range(m):
+                ts = [groups[k][j].t for k in chunk]
+                ts = [0.5 if t is None else t for t in ts]
+                tvec = jnp.asarray(ts + [ts[0]] * pad, dtype=frames_np.dtype)
+                mids = infer_fn(f0, f1, cache, tvec)
+                for i, k in enumerate(chunk):
+                    outs.add(groups[k][j].id, mids[i])
+                progress.step(n, 0)
+            outs.flush(keep_last=batch_size)
+    outs.flush(keep_last=0)
+    progress.finish(len(plan.output))
+
+    np_dtype = np.dtype(out_dtype) if out_dtype is not None else frames_np.dtype
+    out = np.empty((len(plan.output),) + frames_np.shape[1:], np_dtype)
+    for i, (kind, idx) in enumerate(plan.output):
+        out[i] = frames_np[idx] if kind == "orig" else outs.host[idx]
     return out

@@ -329,14 +329,19 @@ def apply(
     )
 
 
-def make_model_fn(params: Params, ckpt_name: str):
+def make_model_fn(params: Params, ckpt_name: str, dtype=jnp.float32):
+    from .common import cast_params
+
     cfg = CKPT_CONFIGS[ckpt_name]
     divide = 2 ** cfg["S_tst"] * cfg["module_scale_factor"] * 4
+    params = cast_params(params, dtype)
 
     def model_fn(f0: Array, f1: Array, t) -> Array:
         h, w = f0.shape[1], f0.shape[2]
         ph = (divide - h % divide) % divide
         pw = (divide - w % divide) % divide
+        f0 = f0.astype(dtype)
+        f1 = f1.astype(dtype)
         if ph or pw:
             pad = ((0, 0), (0, ph), (0, pw), (0, 0))
             f0 = jnp.pad(f0, pad)
@@ -345,6 +350,6 @@ def make_model_fn(params: Params, ckpt_name: str):
             params, f0, f1, t,
             module_scale_factor=cfg["module_scale_factor"], s_tst=cfg["S_tst"],
         )
-        return out[:, :h, :w, :]
+        return out[:, :h, :w, :].astype(jnp.float32)
 
     return model_fn

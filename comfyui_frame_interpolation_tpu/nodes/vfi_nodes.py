@@ -19,11 +19,41 @@ from ..models import cain as cain_model
 from ..models import film as film_model
 from ..models import ifrnet as ifrnet_model
 from ..utils.download import get_converted_params
+from .rife_node import DTYPE_MAP, DTYPE_OPTIONS
 
 _OPTIONAL = {"optional": {"optional_interpolation_states": ("INTERPOLATION_STATES",)}}
 
+# The reference only exposed batching on RIFE/XVFI (SURVEY §2e: its generic
+# loop batches in Python with nothing to gain); here every model runs through
+# the batched executor, so the knob is first-class on every node.
+_BATCH_TOOLTIP = (
+    "Frames interpolated per device call. The executor batches tasks into one "
+    "XLA program; raising this improves TPU throughput until HBM runs out "
+    "(rule of thumb: 4-8 for light flow models at 1080p, 1-2 for heavy "
+    "synthesis models)."
+)
+_DTYPE_TOOLTIP = (
+    "bfloat16 is the TPU-native fast path (~2x faster, half the HBM, "
+    ">=40 dB vs float32); float32 matches the reference bit-for-bit."
+)
 
-def _base_inputs(ckpts, multiplier_min=2, multiplier_max=1000, **extra):
+
+def _batch_dtype_inputs(batch_default):
+    return {
+        "batch_size": (
+            "INT",
+            {"default": batch_default, "min": 1, "max": 64,
+             "tooltip": _BATCH_TOOLTIP},
+        ),
+        "dtype": (
+            DTYPE_OPTIONS, {"default": "float32", "tooltip": _DTYPE_TOOLTIP},
+        ),
+    }
+
+
+def _base_inputs(
+    ckpts, multiplier_min=2, multiplier_max=1000, batch_default=4, **extra
+):
     req = {
         "ckpt_name": (ckpts,),
         "frames": ("IMAGE",),
@@ -31,6 +61,7 @@ def _base_inputs(ckpts, multiplier_min=2, multiplier_max=1000, **extra):
         "multiplier": ("INT", {"default": 2, "min": multiplier_min, "max": multiplier_max}),
     }
     req.update(extra)
+    req.update(_batch_dtype_inputs(batch_default))
     return {"required": req, **_OPTIONAL}
 
 
@@ -39,7 +70,7 @@ class FILM_VFI:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return _base_inputs(["film_net_fp32.pt"])
+        return _base_inputs(["film_net_fp32.pt"], batch_default=2)
 
     RETURN_TYPES = ("IMAGE",)
     FUNCTION = "vfi"
@@ -55,16 +86,19 @@ class FILM_VFI:
         multiplier=2,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 2,
+        dtype: str = "float32",
         **kwargs,
     ):
         frames = preprocess_frames(frames)
         assert_batch_size(frames, 2, "FILM")
         if params is None:
             params = get_converted_params("film", ckpt_name)
-        key = id(params)
+        key = (id(params), dtype)
         if key not in self._cache:
-            self._cache[key] = film_model.make_model_fn(params)
+            self._cache[key] = film_model.make_model_fn(
+                params, dtype=DTYPE_MAP[dtype]
+            )
         model_fn = self._cache[key]
         plan = plan_bisection(
             frames.shape[0], multiplier, optional_interpolation_states
@@ -102,7 +136,8 @@ class IFRNet_VFI:
         scale_factor: float = 1.0,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 4,
+        dtype: str = "float32",
         **kwargs,
     ):
         frames = preprocess_frames(frames)
@@ -110,10 +145,11 @@ class IFRNet_VFI:
         variant = ifrnet_model.variant_for_ckpt(ckpt_name)
         if params is None:
             params = get_converted_params("ifrnet", ckpt_name)
-        key = (id(params), variant, scale_factor)
+        key = (id(params), variant, scale_factor, dtype)
         if key not in self._cache:
             self._cache[key] = ifrnet_model.make_model_fn(
-                params, variant, scale_factor=scale_factor
+                params, variant, scale_factor=scale_factor,
+                dtype=DTYPE_MAP[dtype],
             )
         model_fn = self._cache[key]
         plan = plan_timestep(
@@ -144,16 +180,19 @@ class CAIN_VFI:
         multiplier=2,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 4,
+        dtype: str = "float32",
         **kwargs,
     ):
         frames = preprocess_frames(frames)
         assert_batch_size(frames, 2, "CAIN")
         if params is None:
             params = get_converted_params("cain", ckpt_name)
-        key = id(params)
+        key = (id(params), dtype)
         if key not in self._cache:
-            self._cache[key] = cain_model.make_model_fn(params)
+            self._cache[key] = cain_model.make_model_fn(
+                params, dtype=DTYPE_MAP[dtype]
+            )
         model_fn = self._cache[key]
         plan = plan_midpoint(
             frames.shape[0], multiplier, optional_interpolation_states
@@ -167,7 +206,7 @@ class M2M_VFI:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return _base_inputs(["M2M.pth"])
+        return _base_inputs(["M2M.pth"], batch_default=2)
 
     RETURN_TYPES = ("IMAGE",)
     FUNCTION = "vfi"
@@ -183,7 +222,8 @@ class M2M_VFI:
         multiplier=2,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 2,
+        dtype: str = "float32",
         **kwargs,
     ):
         from ..models import m2m as m2m_model
@@ -192,9 +232,11 @@ class M2M_VFI:
         assert_batch_size(frames, 2, "M2M")
         if params is None:
             params = get_converted_params("m2m", ckpt_name)
-        key = id(params)
+        key = (id(params), dtype)
         if key not in self._cache:
-            self._cache[key] = m2m_model.make_pair_fns(params)
+            self._cache[key] = m2m_model.make_pair_fns(
+                params, dtype=DTYPE_MAP[dtype]
+            )
         reuse_fn, infer_fn = self._cache[key]
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
         # per-pair reuse: PWC flow pyramid + MotionRefineNet run once per pair
@@ -210,7 +252,7 @@ class SepconvVFI:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return _base_inputs(["sepconv.pth"])
+        return _base_inputs(["sepconv.pth"], batch_default=2)
 
     RETURN_TYPES = ("IMAGE",)
     FUNCTION = "vfi"
@@ -226,7 +268,8 @@ class SepconvVFI:
         multiplier=2,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 2,
+        dtype: str = "float32",
         **kwargs,
     ):
         from ..models import sepconv as sepconv_model
@@ -235,9 +278,11 @@ class SepconvVFI:
         assert_batch_size(frames, 2, "Sepconv")
         if params is None:
             params = get_converted_params("sepconv", ckpt_name)
-        key = id(params)
+        key = (id(params), dtype)
         if key not in self._cache:
-            self._cache[key] = sepconv_model.make_model_fn(params)
+            self._cache[key] = sepconv_model.make_model_fn(
+                params, dtype=DTYPE_MAP[dtype]
+            )
         plan = plan_midpoint(frames.shape[0], multiplier, optional_interpolation_states)
         out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
         return (postprocess_frames(out),)
@@ -251,7 +296,9 @@ class AMT_VFI:
     def INPUT_TYPES(cls):
         from ..models import amt as amt_model
 
-        return _base_inputs(list(amt_model.CKPT_CONFIGS.keys()))
+        return _base_inputs(
+            list(amt_model.CKPT_CONFIGS.keys()), batch_default=2
+        )
 
     RETURN_TYPES = ("IMAGE",)
     FUNCTION = "vfi"
@@ -267,7 +314,8 @@ class AMT_VFI:
         multiplier=2,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 2,
+        dtype: str = "float32",
         **kwargs,
     ):
         import jax.numpy as jnp
@@ -282,9 +330,11 @@ class AMT_VFI:
                 ckpt_name,
                 url=f"https://huggingface.co/lalala125/AMT/resolve/main/{ckpt_name}",
             )
-        key = (id(params), ckpt_name)
+        key = (id(params), ckpt_name, dtype)
         if key not in self._cache:
-            self._cache[key] = amt_model.make_model_fn(params, ckpt_name)
+            self._cache[key] = amt_model.make_model_fn(
+                params, ckpt_name, dtype=DTYPE_MAP[dtype]
+            )
 
         # InputPadder(divisor=16) semantics: centered replicate pad, then unpad
         n, h, w, c = frames.shape
@@ -320,6 +370,7 @@ class FLAVR_VFI:
                 "clear_cache_after_n_frames": ("INT", {"default": 10, "min": 1, "max": 1000}),
                 "multiplier": ("INT", {"default": 2, "min": 2, "max": 2}),
                 "duplicate_first_last_frames": ("BOOLEAN", {"default": False}),
+                **_batch_dtype_inputs(2),
             },
             **_OPTIONAL,
         }
@@ -339,7 +390,8 @@ class FLAVR_VFI:
         duplicate_first_last_frames: bool = False,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 2,
+        dtype: str = "float32",
         **kwargs,
     ):
         import warnings
@@ -357,9 +409,11 @@ class FLAVR_VFI:
         assert_batch_size(frames, 4, "FLAVR")
         if params is None:
             params = get_converted_params("flavr", ckpt_name)
-        key = id(params)
+        key = (id(params), dtype)
         if key not in self._cache:
-            self._cache[key] = flavr_model.make_model_fn(params)
+            self._cache[key] = flavr_model.make_model_fn(
+                params, dtype=DTYPE_MAP[dtype]
+            )
 
         n, h, w, c = frames.shape
         ph = (-h) % 16
@@ -389,6 +443,7 @@ class IFUnet_VFI:
             ["IFUNet.pth"],
             scale_factor=("FLOAT", {"default": 1.0, "min": 0.1, "max": 100, "step": 0.1}),
             ensemble=("BOOLEAN", {"default": True}),
+            batch_default=2,
         )
 
     RETURN_TYPES = ("IMAGE",)
@@ -407,7 +462,8 @@ class IFUnet_VFI:
         ensemble: bool = False,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 2,
+        dtype: str = "float32",
         **kwargs,
     ):
         from ..models import ifunet as ifunet_model
@@ -416,10 +472,11 @@ class IFUnet_VFI:
         assert_batch_size(frames, 2, "IFUnet")
         if params is None:
             params = get_converted_params("ifunet", ckpt_name)
-        key = (id(params), scale_factor, ensemble)
+        key = (id(params), scale_factor, ensemble, dtype)
         if key not in self._cache:
             self._cache[key] = ifunet_model.make_model_fn(
-                params, scale=scale_factor, ensemble=ensemble
+                params, scale=scale_factor, ensemble=ensemble,
+                dtype=DTYPE_MAP[dtype],
             )
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
         out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
@@ -438,6 +495,7 @@ class STMFNet_VFI:
                 "clear_cache_after_n_frames": ("INT", {"default": 10, "min": 1, "max": 1000}),
                 "multiplier": ("INT", {"default": 2, "min": 2, "max": 2}),
                 "duplicate_first_last_frames": ("BOOLEAN", {"default": False}),
+                **_batch_dtype_inputs(1),
             },
             **_OPTIONAL,
         }
@@ -458,6 +516,7 @@ class STMFNet_VFI:
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
         batch_size: int = 1,
+        dtype: str = "float32",
         **kwargs,
     ):
         import warnings
@@ -475,9 +534,11 @@ class STMFNet_VFI:
         assert_batch_size(frames, 4, "ST-MFNet")
         if params is None:
             params = get_converted_params("stmfnet", ckpt_name)
-        key = id(params)
+        key = (id(params), dtype)
         if key not in self._cache:
-            self._cache[key] = stmfnet_model.make_model_fn(params)
+            self._cache[key] = stmfnet_model.make_model_fn(
+                params, dtype=DTYPE_MAP[dtype]
+            )
         plan = plan_window4(
             frames.shape[0], duplicate_first_last_frames, optional_interpolation_states
         )
@@ -511,7 +572,9 @@ class GMFSS_Fortuna_VFI:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return _base_inputs(list(cls.CKPTS_PATH_CONFIG.keys()))
+        return _base_inputs(
+            list(cls.CKPTS_PATH_CONFIG.keys()), batch_default=2
+        )
 
     RETURN_TYPES = ("IMAGE",)
     FUNCTION = "vfi"
@@ -546,7 +609,8 @@ class GMFSS_Fortuna_VFI:
         multiplier=2,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 2,
+        dtype: str = "float32",
         **kwargs,
     ):
         from ..models import gmfss as gmfss_model
@@ -556,9 +620,11 @@ class GMFSS_Fortuna_VFI:
         union = "union" in ckpt_name
         if params is None:
             params = self._load_params(ckpt_name)
-        key = (id(params), union)
+        key = (id(params), union, dtype)
         if key not in self._cache:
-            self._cache[key] = gmfss_model.make_pair_fns(params, union=union)
+            self._cache[key] = gmfss_model.make_pair_fns(
+                params, union=union, dtype=DTYPE_MAP[dtype]
+            )
         reuse_fn, infer_fn = self._cache[key]
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
         # per-pair reuse caching: flows/metrics/features are computed once per
@@ -590,6 +656,7 @@ class ATM_VFI:
                 "clear_cache_after_n_frames": ("INT", {"default": 10, "min": 1, "max": 1000}),
                 "multiplier": ("INT", {"default": 2, "min": 2, "max": 2}),
                 "global_motion": (list(cls.GLOBAL_MOTION_SETTINGS.keys()),),
+                **_batch_dtype_inputs(2),
             },
             **_OPTIONAL,
         }
@@ -609,7 +676,8 @@ class ATM_VFI:
         global_motion: str = "On",
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 2,
+        dtype: str = "float32",
         **kwargs,
     ):
         from ..models import atm as atm_model
@@ -626,11 +694,11 @@ class ATM_VFI:
                 ckpt_name,
                 convert=lambda tree: _strip_keys(tree, ("attn_mask", "HW")),
             )
-        key = (id(params), variant, gm, gm_ens)
+        key = (id(params), variant, gm, gm_ens, dtype)
         if key not in self._cache:
             self._cache[key] = atm_model.make_model_fn(
                 params, variant=variant, global_motion=gm,
-                ensemble_global_motion=gm_ens,
+                ensemble_global_motion=gm_ens, dtype=DTYPE_MAP[dtype],
             )
         plan = plan_bisection(frames.shape[0], multiplier, optional_interpolation_states)
         out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
@@ -664,6 +732,7 @@ class MOMO_VFI:
                 "clear_cache_after_n_frames": ("INT", {"default": 10, "min": 1, "max": 1000}),
                 "multiplier": ("INT", {"default": 2, "min": 2, "max": 2}),
                 "num_inference_steps": ("INT", {"default": 8, "min": 2, "max": 20}),
+                **_batch_dtype_inputs(1),
             },
             **_OPTIONAL,
         }
@@ -684,6 +753,7 @@ class MOMO_VFI:
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
         batch_size: int = 1,
+        dtype: str = "float32",
         seed: int = 0,
         **kwargs,
     ):
@@ -693,10 +763,11 @@ class MOMO_VFI:
         assert_batch_size(frames, 2, "MoMo")
         if params is None:
             params = get_converted_params("momo", ckpt_name)
-        key = (id(params), ckpt_name, num_inference_steps, seed)
+        key = (id(params), ckpt_name, num_inference_steps, seed, dtype)
         if key not in self._cache:
             self._cache[key] = momo_model.make_model_fn(
-                params, ckpt_name, num_inference_steps=num_inference_steps, seed=seed
+                params, ckpt_name, num_inference_steps=num_inference_steps,
+                seed=seed, dtype=DTYPE_MAP[dtype],
             )
         plan = plan_bisection(frames.shape[0], multiplier, optional_interpolation_states)
         out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
@@ -712,7 +783,7 @@ class EISAI_VFI:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return _base_inputs(["eisai"])
+        return _base_inputs(["eisai"], batch_default=2)
 
     RETURN_TYPES = ("IMAGE",)
     FUNCTION = "vfi"
@@ -728,7 +799,8 @@ class EISAI_VFI:
         multiplier=2,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
-        batch_size: int = 1,
+        batch_size: int = 2,
+        dtype: str = "float32",
         **kwargs,
     ):
         from ..models import eisai as eisai_model
@@ -746,9 +818,11 @@ class EISAI_VFI:
                     .get("flownet", sd.get("flownet", sd)),
                 ),
             }
-        key = (id(params.get("ssl")),)
+        key = (id(params.get("ssl")), dtype)
         if key not in self._cache:
-            self._cache[key] = eisai_model.make_pair_fns(params)
+            self._cache[key] = eisai_model.make_pair_fns(
+                params, dtype=DTYPE_MAP[dtype]
+            )
         reuse_fn, infer_fn = self._cache[key]
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)
         # per-pair reuse: the two 12-iteration RAFT flow passes run once per
@@ -779,8 +853,16 @@ class XVFI_VFI:
             "required": {
                 "ckpt_name": (list(xvfi_model.CKPT_CONFIGS.keys()),),
                 "frames": ("IMAGE",),
-                "batch_size": ("INT", {"default": 1, "min": 1, "max": 100}),
+                "batch_size": (
+                    "INT",
+                    {"default": 2, "min": 1, "max": 100,
+                     "tooltip": _BATCH_TOOLTIP},
+                ),
                 "multipler": ("INT", {"default": 2, "min": 2, "max": 1000}),
+                "dtype": (
+                    DTYPE_OPTIONS,
+                    {"default": "float32", "tooltip": _DTYPE_TOOLTIP},
+                ),
             },
             **_OPTIONAL,
         }
@@ -795,11 +877,12 @@ class XVFI_VFI:
         self,
         ckpt_name: str,
         frames,
-        batch_size: int = 1,
+        batch_size: int = 2,
         multipler: int = 2,
         multiplier: int = None,
         optional_interpolation_states: InterpolationStateList = None,
         params: dict = None,
+        dtype: str = "float32",
         **kwargs,
     ):
         from ..models import xvfi as xvfi_model
@@ -812,9 +895,11 @@ class XVFI_VFI:
                 "xvfi", ckpt_name,
                 convert=lambda sd: sd.get("state_dict_Model", sd),
             )
-        key = (id(params), ckpt_name)
+        key = (id(params), ckpt_name, dtype)
         if key not in self._cache:
-            self._cache[key] = xvfi_model.make_model_fn(params, ckpt_name)
+            self._cache[key] = xvfi_model.make_model_fn(
+                params, ckpt_name, dtype=DTYPE_MAP[dtype]
+            )
         plan = plan_timestep(
             frames.shape[0], mult, optional_interpolation_states,
             zero_drops_pair=False,

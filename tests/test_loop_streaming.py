@@ -1,6 +1,7 @@
 """Streaming executor parity: bounded-HBM mode must be bit-identical to the
-resident path for every plan shape (flat timestep, recursive midpoint,
-bisection) — same chunking, same padding, same jitted callable."""
+resident path for every executor and plan shape (flat timestep, recursive
+midpoint, bisection, 4-frame window, pair-cached) — same chunking, same
+padding, same jitted callable."""
 
 import numpy as np
 import pytest
@@ -8,12 +9,17 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from comfyui_frame_interpolation_tpu.core.loop import run_plan
+from comfyui_frame_interpolation_tpu.core.loop import (
+    run_plan,
+    run_plan_pair_cached,
+    run_plan_window4,
+)
 from comfyui_frame_interpolation_tpu.core.schedule import (
     InterpolationStateList,
     plan_bisection,
     plan_midpoint,
     plan_timestep,
+    plan_window4,
 )
 
 
@@ -67,3 +73,87 @@ def test_streaming_matches_dense_bisection(frames):
 def test_resident_path_untouched_for_small_clips(frames):
     out = run_plan(jnp.asarray(frames), plan_timestep(len(frames), 2), _blend)
     assert isinstance(out, jnp.ndarray)
+
+
+@jax.jit
+def _window_blend(f0, f1, f2, f3):
+    # STMFNet-shaped interface: consume the full 4-frame window
+    return (0.1 * f0 + 0.4 * f1 + 0.4 * f2 + 0.1 * f3).astype(jnp.float32)
+
+
+def test_window4_streaming_matches_dense(frames):
+    for dup in (False, True):
+        plan = plan_window4(len(frames), duplicate_first_last_frames=dup)
+        dense = np.asarray(
+            run_plan_window4(
+                jnp.asarray(frames), plan, _window_blend, batch_size=3
+            )
+        )
+        streamed = run_plan_window4(
+            frames, plan, _window_blend, batch_size=3, hbm_budget_bytes=1
+        )
+        assert isinstance(streamed, np.ndarray)
+        np.testing.assert_array_equal(dense, streamed)
+
+
+def test_window4_streaming_with_skips(frames):
+    states = InterpolationStateList([2, 3], is_skip_list=True)
+    plan = plan_window4(len(frames), states=states)
+    dense = np.asarray(
+        run_plan_window4(jnp.asarray(frames), plan, _window_blend, batch_size=4)
+    )
+    streamed = run_plan_window4(
+        frames, plan, _window_blend, batch_size=4, hbm_budget_bytes=1
+    )
+    np.testing.assert_array_equal(dense, streamed)
+
+
+def _reuse(f0, f1):
+    # GMFSS-shaped interface: timestep-invariant per-pair state (e.g. flow)
+    return {"flow": (f1 - f0) * 0.5, "metric": f0 * f1}
+
+
+@jax.jit
+def _infer(f0, f1, cache, t):
+    t = t[:, None, None, None]
+    return (
+        f0 * (1.0 - t) + f1 * t + cache["flow"] * t + 0.01 * cache["metric"]
+    ).astype(jnp.float32)
+
+
+def test_pair_cached_streaming_matches_dense(frames):
+    for mult in (4, [3, 0, 2, 5, 1, 2, 2, 2]):
+        plan = plan_timestep(len(frames), mult)
+        dense = np.asarray(
+            run_plan_pair_cached(
+                jnp.asarray(frames), plan, _reuse, _infer, batch_size=3
+            )
+        )
+        streamed = run_plan_pair_cached(
+            frames, plan, _reuse, _infer, batch_size=3, hbm_budget_bytes=1
+        )
+        assert isinstance(streamed, np.ndarray)
+        np.testing.assert_array_equal(dense, streamed)
+
+
+def test_long_clip_bounded_budget():
+    """A 500-frame clip through both streaming executors under a budget that
+    could never hold the clip resident (the VERDICT long-clip criterion,
+    scaled to CPU-test frame sizes: the budget admits ~25 frames of the
+    ~1000-frame working set)."""
+    rng = np.random.default_rng(11)
+    frames = rng.random((500, 8, 16, 3)).astype(np.float32)
+    frame_bytes = 8 * 16 * 3 * 4
+    budget = 100 * frame_bytes  # max_resident = budget // (4*fb) = 25 frames
+
+    plan = plan_window4(len(frames))
+    out = run_plan_window4(
+        frames, plan, _window_blend, batch_size=4, hbm_budget_bytes=budget
+    )
+    assert isinstance(out, np.ndarray) and len(out) == len(plan.output)
+
+    plan = plan_timestep(len(frames), 2)
+    out = run_plan_pair_cached(
+        frames, plan, _reuse, _infer, batch_size=8, hbm_budget_bytes=budget
+    )
+    assert isinstance(out, np.ndarray) and len(out) == len(plan.output)
