@@ -502,6 +502,113 @@ def psnr_mode():
         emit(name, f32, fbf, f0, f1, t)
 
 
+def psnr_torch_mode():
+    """Composed end-to-end PSNR gate (BASELINE.md: >= 40 dB vs reference
+    outputs on demo_frames): the reference torch arch forward on CPU vs the
+    FULL TPU node path — Pallas kernels on, native demo resolution, padding,
+    scheduling — on the SAME (random-seeded, mechanically converted) weights.
+
+    This is the composed measurement the per-model small-shape parity tests
+    and the bf16-vs-fp32 mode individually miss (VERDICT r2 missing #2).
+    fp32 validates the pipeline exactly; bf16 is reported alongside (with
+    random weights bf16 error is un-contracted — real checkpoints behave
+    better, see the bf16-vs-fp32 psnr mode).
+
+    The fp32 row runs under ``jax.default_matmul_precision("highest")``: the
+    gate verifies the composed IMPLEMENTATION, so the TPU's default
+    bf16-MXU passes for f32 convs must not alias into it. (Found the hard
+    way: sepconv's kernel-normalization channel sits near zero under random
+    weights — real checkpoints give ~1 — so default-precision ULP noise
+    blew up through the division to a false 22 dB; at highest precision the
+    same composed path measures 109 dB.)"""
+    import torch
+
+    from comfyui_frame_interpolation_tpu.nodes import NODE_CLASS_MAPPINGS
+
+    f0j, f1j = _load_demo_pair()
+    frames = np.concatenate([np.asarray(f0j), np.asarray(f1j)], axis=0)
+    t0 = torch.from_numpy(np.asarray(f0j).transpose(0, 3, 1, 2))
+    t1 = torch.from_numpy(np.asarray(f1j).transpose(0, 3, 1, 2))
+
+    def psnr(a, b):
+        mse = float(np.mean((np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2))
+        return 99.0 if mse == 0 else float(10.0 * np.log10(1.0 / mse))
+
+    def emit(name, dt, val):
+        print(json.dumps({
+            "metric": f"{name}_node_vs_torch_psnr_db_{dt}",
+            "value": round(val, 2), "unit": "dB",
+            "vs_baseline": round(val / 40.0, 3),
+        }))
+
+    from comfyui_frame_interpolation_tpu.utils.ckpt import (
+        nest_state_dict, to_jax_tree,
+    )
+
+    def run_case(name, node_name, build, torch_fwd, node_kwargs):
+        torch.manual_seed(0)
+        model = build().eval()
+        with torch.no_grad():
+            ref_mid = torch_fwd(model).numpy().transpose(0, 2, 3, 1)[0]
+        params = to_jax_tree(nest_state_dict(model.state_dict()))
+        node = NODE_CLASS_MAPPINGS[node_name]()
+        for dt_name in ("float32", "bfloat16"):
+            import contextlib
+
+            prec = (
+                jax.default_matmul_precision("highest")
+                if dt_name == "float32" else contextlib.nullcontext()
+            )
+            with prec:
+                out, = node.vfi(
+                    frames=frames, multiplier=2, params=params,
+                    dtype=dt_name, batch_size=1, **node_kwargs,
+                )
+            mid = np.asarray(out)[1]
+            emit(name, "fp32" if dt_name == "float32" else "bf16",
+                 psnr(ref_mid, mid))
+
+    half = torch.full((1, 1, 1, 1), 0.5)
+
+    run_case(
+        "rife47", "RIFE VFI",
+        lambda: _load_ref("vfi_models/rife/rife_arch.py", "pt_rife").IFNet(
+            arch_ver="4.7"
+        ),
+        lambda m: m(t0, t1, half, [8, 4, 2, 1], training=False,
+                    fastmode=True, ensemble=False),
+        {"ckpt_name": "rife47.pth", "fast_mode": True, "ensemble": False},
+    )
+    run_case(
+        "film", "FILM VFI",
+        lambda: _load_ref("vfi_models/film/film_arch.py", "pt_film").Interpolator(),
+        lambda m: m(t0, t1, t0.new_full((1, 1), 0.5)),
+        {"ckpt_name": "film_net_fp32.pt"},
+    )
+    run_case(
+        "ifrnet", "IFRNet VFI",
+        lambda: _load_ref(
+            "vfi_models/ifrnet/IFRNet_S_arch.py", "pt_ifrnet"
+        ).IRFNet_S(),
+        lambda m: m(t0, t1, scale_factor=1.0, timestep=0.5),
+        {"ckpt_name": "IFRNet_S_Vimeo90K.pth", "scale_factor": 1.0},
+    )
+    run_case(
+        "m2m", "M2M VFI",
+        lambda: _load_ref("vfi_models/m2m/M2M_arch.py", "pt_m2m").M2M_PWC(),
+        lambda m: m(t0, t1, [half])[0],
+        {"ckpt_name": "M2M.pth"},
+    )
+    run_case(
+        "sepconv", "Sepconv VFI",
+        lambda: _load_ref(
+            "vfi_models/sepconv/sepconv_enhanced.py", "pt_sepconv"
+        ).Network(),
+        lambda m: m(t0, t1),
+        {"ckpt_name": "sepconv.pth"},
+    )
+
+
 def _emit(metric, fps, baseline, estimated=False):
     rec = {
         "metric": metric,
@@ -526,11 +633,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--metric", default="rife",
-        choices=["rife", "psnr", "all"] + sorted(_RES),
+        choices=["rife", "psnr", "psnr_torch", "all"] + sorted(_RES),
     )
     args = ap.parse_args()
     if args.metric == "psnr":
         psnr_mode()
+        return
+    if args.metric == "psnr_torch":
+        psnr_torch_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]

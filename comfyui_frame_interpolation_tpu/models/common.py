@@ -209,23 +209,35 @@ def _down_even_2d(x: Array, sh: int, sw: int) -> Array:
 
     For even factor s the two source taps of output k are rows
     ``s*k + s/2 - 1`` and ``s*k + s/2`` with weight 0.5 each, so the resize is
-    a mean of ≤4 strided slices — faster than the gather lowering XLA produces
-    for fancy indexing (~5x at 1080p), and, unlike ``lax.reduce_window`` with a
-    traced init value, fully differentiable under sharded ``jit`` (the generic
-    ``reduce_window`` primitive has no linearization rule, which broke the
-    multi-chip train step in round 2 — see parallel/train.py and
-    tests/test_parallel.py)."""
-    h, w = x.shape[1], x.shape[2]
-    oh, ow = h // sh, w // sw
-    taps_y = (sh // 2 - 1, sh // 2) if sh > 1 else (0,)
-    taps_x = (sw // 2 - 1, sw // 2) if sw > 1 else (0,)
-    acc = None
-    for ty in taps_y:
-        rows = jax.lax.slice_in_dim(x, ty, ty + (oh - 1) * sh + 1, sh, axis=1)
-        for tx in taps_x:
-            v = jax.lax.slice_in_dim(rows, tx, tx + (ow - 1) * sw + 1, sw, axis=2)
-            acc = v if acc is None else acc + v
-    return acc * jnp.asarray(1.0 / (len(taps_y) * len(taps_x)), x.dtype)
+    an offset slice + a 2-tap mean — one ``reduce_window`` instead of the
+    gather lowering XLA produces for fancy indexing (~5x faster at 1080p).
+
+    The init value MUST be a concrete zero (``np.zeros``), not a device array
+    (``jnp.zeros``): only a concrete identity lets ``lax.reduce_window`` match
+    its add-monoid specialization and lower to ``reduce_window_sum``, which
+    has linearization/transpose rules. The generic ``reduce_window`` primitive
+    has none, which broke ``jit(value_and_grad)`` under a sharded mesh in
+    round 2 (dryrun_multichip rc=1) while every inference test stayed green —
+    covered now by tests/test_parallel.py. Strided-slice and reshape-based
+    rewrites were both tried and measured SLOWER in-context on TPU (24.6 and
+    22.2 vs 28.4 f/s on the RIFE 1080p headline): XLA fuses this
+    reduce_window into consumers; materialized slice taps it does not.
+    """
+    oy = sh // 2 - 1 if sh > 1 else 0
+    ox = sw // 2 - 1 if sw > 1 else 0
+    if oy or ox:
+        x = x[:, oy:, ox:, :]
+    wh = 2 if sh > 1 else 1
+    ww = 2 if sw > 1 else 1
+    s = jax.lax.reduce_window(
+        x,
+        np.zeros((), x.dtype),
+        jax.lax.add,
+        (1, wh, ww, 1),
+        (1, sh, sw, 1),
+        "VALID",
+    )
+    return s * jnp.asarray(1.0 / (wh * ww), x.dtype)
 
 
 def _up_int_axis(x: Array, axis: int, s: int) -> Array:

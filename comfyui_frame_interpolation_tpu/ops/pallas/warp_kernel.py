@@ -70,7 +70,7 @@ K0_WIN = (24, 384)
 
 
 def _warp_kernel_diag_roll(
-    ymin_ref, by_ref, bx_ref,  # scalar-prefetched [T]
+    ymin_ref, by_ref, bx_ref, fast_ref,  # scalar-prefetched [T]
     fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
     *, h: int, w: int, win_h: int, win_w: int, c: int,
     grid_hw: Tuple[int, int], zeros: bool = False
@@ -80,7 +80,15 @@ def _warp_kernel_diag_roll(
     ``ymin + r``, so the diagonal loop spans only ``variation + 2`` values
     (static bound ``win_h - 15``) instead of ``variation + alignment + 2``.
     The worst-case wrap check: s + d + 8 <= win_h holds for every alignment
-    s in [0, 7] exactly when the fit bound dymax - dymin <= win_h - 16 does."""
+    s in [0, 7] exactly when the fit bound dymax - dymin <= win_h - 16 does.
+
+    Tiles whose floor-flow span is ZERO (``fast_ref``: per-tile constant
+    integer displacement — the common case for smooth real flows, and ~every
+    tile of FILM/RIFE mid-flows) take a predicated FAST body: only diagonals
+    d in {0, 1} carry weight and the roll touches just the first 16 window
+    rows (s + d + 7 <= 15), cutting the per-channel vreg work ~3x. The fast
+    body's arithmetic is an exact subset of the full body's, so results are
+    bit-identical either way."""
     gh, gw = grid_hw
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -169,28 +177,48 @@ def _warp_kernel_diag_roll(
     # roll so rolled row r = source row ymin + r (dynamic positive shift;
     # Mosaic's negative dynamic shifts are miscompiled — measured off-by-8)
     s = ymin - by
-    shift = jnp.where(s == 0, 0, win_h - s)
-    rolled = [
-        pltpu.roll(win_ref[slot, ch][...].astype(jnp.float32), shift, 0)
-        for ch in range(c)
-    ]
 
-    accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
-    for d in range(win_h - TILE_H - 7 + 1):
-        wd = jnp.where(dy0 == d, wy0m, 0.0) + jnp.where(dy0 == d - 1, wy1m, 0.0)
-        for ci in range(n_chunks):
-            l0, w0c = tap_meta[0][ci]
-            l1, w1c = tap_meta[1][ci]
-            wd0 = wd * w0c
-            wd1 = wd * w1c
-            for ch in range(c):
-                blk = rolled[ch][d : d + TILE_H, ci * TILE_W : (ci + 1) * TILE_W]
-                v0 = jnp.take_along_axis(blk, l0, axis=1)
-                v1 = jnp.take_along_axis(blk, l1, axis=1)
-                accs[ch] = accs[ch] + wd0 * v0 + wd1 * v1
+    def compute(rows: int, ndiag: int):
+        # rolled window slice [0:rows]: rolled[r] = win[r + s] for
+        # r + s < rows (no wrap for r <= ndiag-1+7, s <= 7 when
+        # ndiag + 14 <= rows, which both instantiations satisfy)
+        shift = jnp.where(s == 0, 0, rows - s)
+        rolled = [
+            pltpu.roll(
+                win_ref[slot, ch, 0:rows][...].astype(jnp.float32), shift, 0
+            )
+            for ch in range(c)
+        ]
+        accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
+        for d in range(ndiag):
+            wd = (
+                jnp.where(dy0 == d, wy0m, 0.0)
+                + jnp.where(dy0 == d - 1, wy1m, 0.0)
+            )
+            for ci in range(n_chunks):
+                l0, w0c = tap_meta[0][ci]
+                l1, w1c = tap_meta[1][ci]
+                wd0 = wd * w0c
+                wd1 = wd * w1c
+                for ch in range(c):
+                    blk = rolled[ch][
+                        d : d + TILE_H, ci * TILE_W : (ci + 1) * TILE_W
+                    ]
+                    v0 = jnp.take_along_axis(blk, l0, axis=1)
+                    v1 = jnp.take_along_axis(blk, l1, axis=1)
+                    accs[ch] = accs[ch] + wd0 * v0 + wd1 * v1
+        for ch in range(c):
+            out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
 
-    for ch in range(c):
-        out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
+    fast = fast_ref[t] != 0
+
+    @pl.when(fast)
+    def _():
+        compute(2 * TILE_H, 2)
+
+    @pl.when(jnp.logical_not(fast))
+    def _():
+        compute(win_h, win_h - TILE_H - 7 + 1)
 
 
 @functools.partial(
@@ -200,7 +228,7 @@ def warp_pallas_planes_v2(
     planes: Array,  # [B, C, H, W]
     fx: Array,
     fy: Array,
-    bases: Tuple[Array, Array, Array],  # (ymin, by, bx): roll shift = ymin - by
+    bases: Tuple[Array, Array, Array, Array],  # (ymin, by, bx, fast)
     win_h: int = DEF_WIN_H,
     win_w: int = DEF_WIN_W,
     zeros: bool = False,
@@ -217,7 +245,7 @@ def warp_pallas_planes_v2(
     win_w = min(win_w, w)
     gh, gw = h // TILE_H, w // TILE_W
 
-    assert len(bases) == 3
+    assert len(bases) == 4
     prefetch = tuple(bases)
     kernel = functools.partial(
         _warp_kernel_diag_roll,
@@ -334,7 +362,7 @@ def _diag_bases_fits(spans, wh, ww, h, w, hb, wb):
     window, and it doesn't touch frame clipping (edge tiles break the
     floor(row+f)=row+floor(f) identity — the patch pass owns them). Callers
     pad the planes by wh-8 extra bottom rows so ``by`` is never clipped down
-    for real tiles. Returns (ymin, by, bx, fits), flattened."""
+    for real tiles. Returns (ymin, by, bx, fits, fast), flattened."""
     ymin, ymax, xmin, xmax, dymin, dymax, edge = spans
     wh = min(wh, h)
     ww = min(ww, w)
@@ -347,9 +375,13 @@ def _diag_bases_fits(spans, wh, ww, h, w, hb, wb):
         & (dymax - dymin <= wh - 2 * TILE_H)
         & (xmax - bx <= ww - 1)
     )
+    # span-0 tiles (constant integer displacement) take the kernel's cheap
+    # 2-diagonal body — see _warp_kernel_diag_roll
+    fast = (fits & (dymax == dymin)).astype(jnp.int32)
     ymin_b = jnp.broadcast_to(ymin, fits.shape)
     return (
-        ymin_b.reshape(-1), by.reshape(-1), bx.reshape(-1), fits.reshape(-1)
+        ymin_b.reshape(-1), by.reshape(-1), bx.reshape(-1), fits.reshape(-1),
+        fast.reshape(-1),
     )
 
 
@@ -573,19 +605,24 @@ def warp_pallas_nhwc_tiered(
     hb, wb = frame_hw or (h, w)
     spans = _tile_spans(fx, fy, h, w, hb, wb)
     wh, ww = K0_WIN
-    tymin, by, bx, fits = _diag_bases_fits(spans, wh, ww, h, w, hb, wb)
+    tymin, by, bx, fits, tfast = _diag_bases_fits(spans, wh, ww, h, w, hb, wb)
     planes = img.transpose(0, 3, 1, 2)
     ymin, ymax = spans[0].reshape(-1), spans[1].reshape(-1)
     bad = jnp.logical_not(fits).astype(jnp.int32)
 
-    # both kernels fully unroll the channel loop; chunk wide features
+    # both kernels fully unroll the channel loop; chunk wide features. Caps
+    # are VMEM-budget-tuned for 2-byte dtypes; 4-byte dtypes double the window
+    # scratch and the patch pass's slab/temporaries, so halve the fold width
+    # (f32 FILM's 36-channel fold at 540p overflowed scoped VMEM by 1.5 MB).
     cap = 24 if zeros else 36
+    if jnp.dtype(img.dtype).itemsize >= 4:
+        cap //= 2
 
     def one_chunk(planes_c):
         # bulk pass (garbage on non-fitting tiles) + in-place exact patch
         bulk = warp_pallas_planes_v2(
             planes_c, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
-            frame_hw=(hb, wb), bases=(tymin, by, bx),
+            frame_hw=(hb, wb), bases=(tymin, by, bx, tfast),
         )
         return _run_patch(
             bulk, planes_c, fx, fy, bad, ymin, ymax, hb, wb, zeros
@@ -614,7 +651,7 @@ def warp_pallas_nhwc_tiered(
         bulk = warp_pallas_planes_v2(
             planes_f, fx_f, fy_f, win_h=wh, win_w=ww, zeros=zeros,
             frame_hw=(hb, wb),
-            bases=(rep_t(tymin), rep_t(by), rep_t(bx)),
+            bases=(rep_t(tymin), rep_t(by), rep_t(bx), rep_t(tfast)),
         )
         out = _run_patch(
             bulk, planes_f, fx_f, fy_f, rep_t(bad), rep_t(ymin), rep_t(ymax),
