@@ -257,6 +257,22 @@ def softsplat_pallas_planes(
     )(vals, flow)
 
 
+def _planes_maybe_chunked(vals: Array, flow: Array, **kw) -> Array:
+    """Channel-chunked kernel dispatch for 4-byte dtypes. The kernel body's
+    scoped-VMEM stack scales with C x itemsize; f32 inputs at C=4 overflow
+    the 16 MB scoped limit by ~11% (hit by the fp32 PSNR gate through M2M —
+    bf16, the production dtype, fits at every supported C). Channels splat
+    independently, so slicing C is exact."""
+    c = vals.shape[1]
+    if jnp.dtype(vals.dtype).itemsize < 4 or c <= 2:
+        return softsplat_pallas_planes(vals, flow, **kw)
+    outs = [
+        softsplat_pallas_planes(vals[:, i : i + 2], flow, **kw)
+        for i in range(0, c, 2)
+    ]
+    return jnp.concatenate(outs, axis=1)
+
+
 def softsplat_pallas(ten_in: Array, ten_flow: Array, **win_kw) -> Array:
     """NHWC raw bilinear forward splat (reference ``softsplat_out``) via the
     windowed matmul-scatter kernel. See the module docstring for the locality
@@ -271,7 +287,7 @@ def softsplat_pallas(ten_in: Array, ten_flow: Array, **win_kw) -> Array:
         ten_flow = jnp.pad(ten_flow, ((0, 0), (0, ph), (0, pw), (0, 0)))
     vals = ten_in.transpose(0, 3, 1, 2)
     flow = ten_flow.astype(jnp.float32).transpose(0, 3, 1, 2)
-    out = softsplat_pallas_planes(vals, flow, **win_kw)
+    out = _planes_maybe_chunked(vals, flow, **win_kw)
     out = out.transpose(0, 2, 3, 1)[:, :h, :w, :]
     return out.astype(ten_in.dtype)
 
@@ -360,7 +376,7 @@ def softsplat_pallas_banded(ten_in: Array, ten_flow: Array) -> Array:
     present, _ = band_membership(ten_flow, h, w)
 
     wh, ww, oy, ox = _band_geometry(BAND_BASE)
-    out = softsplat_pallas_planes(
+    out = _planes_maybe_chunked(
         vals, flow, win_h=wh, win_w=ww, off_y=oy, off_x=ox, band=BAND_BASE
     )
     for k, band in enumerate(usable_bands(h, w)):
@@ -368,7 +384,7 @@ def softsplat_pallas_banded(ten_in: Array, ten_flow: Array) -> Array:
         out = jax.lax.cond(
             present[k + 1],
             lambda o, v, f, _band=band, _g=(wh, ww, oy, ox): o
-            + softsplat_pallas_planes(
+            + _planes_maybe_chunked(
                 v, f, win_h=_g[0], win_w=_g[1], off_y=_g[2], off_x=_g[3],
                 band=_band,
             ),
