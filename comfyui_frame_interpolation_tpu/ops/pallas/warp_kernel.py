@@ -288,6 +288,224 @@ def warp_pallas_planes_v2(
 # exceeded the crossbar savings and the variant was dropped.
 
 
+def _warp_kernel_rows_mxu(
+    ymin_ref, by_ref, bx_ref, fast_ref,  # scalar-prefetched [T]
+    fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
+    *, h: int, w: int, win_h: int, win_w: int, c: int,
+    grid_hw: Tuple[int, int], zeros: bool = False
+):
+    """MXU bulk kernel on a rows-major ``[B, H, C, W]`` image layout.
+
+    The VPU-bound part of the diagonal kernel is the per-(diagonal, chunk,
+    channel) 128-lane crossbar (``take_along_axis``): its cost scales with
+    ``ndiag * (win_w/128) * C``. This kernel replaces every crossbar with an
+    exact one-hot matmul shared across channels: for output row ``r`` the two
+    x-tap selection matrices ``G0/G1 [win_w, 128]`` (pure 0/1 in the image
+    dtype — selection of a bf16 value times 1.0 accumulated over zeros in
+    f32 is EXACT, so bit-identical results) are built once, and each
+    diagonal contributes two ``[C, win_w] @ [win_w, 128]`` MXU contractions.
+    Per-tile work becomes ``8 * 2`` G-builds (C-independent) plus
+    ``8 * ndiag * 2`` matmuls, instead of ``ndiag * 3 * C`` crossbars.
+
+    The rows-major layout makes H an UNTILED dim, so the window DMA base
+    needs no 8-row alignment: ``by == ymin`` exactly, the source-row select
+    ``win[r + d]`` is fully STATIC (no roll, no dynamic sublane addressing —
+    both of which Mosaic miscompiles), and the fit bound improves to
+    ``dymax - dymin <= win_h - TILE_H - 1`` (vs ``win_h - 16`` for the
+    aligned diagonal kernel).
+
+    Weight math, masks, and accumulation order are copied verbatim from the
+    diagonal kernel, so results are bit-identical to it (and to
+    ``ops.warp.warp_xla`` — asserted at atol=0 in tests/test_pallas_kernels).
+    """
+    gh, gw = grid_hw
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    wi = pl.program_id(2)
+    t = (bi * gh + hi) * gw + wi
+    n_tiles = pl.num_programs(0) * gh * gw
+
+    def start_dma(tile_idx, slot):
+        b_k = tile_idx // (gh * gw)
+        by_ = by_ref[tile_idx]  # unaligned: H is untiled in this layout
+        bx_ = pl.multiple_of(bx_ref[tile_idx], TILE_W)
+        return pltpu.make_async_copy(
+            img_ref.at[b_k, pl.ds(by_, win_h), :, pl.ds(bx_, win_w)],
+            win_ref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        start_dma(0, 0).start()
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        start_dma(t + 1, (t + 1) % 2).start()
+
+    fx = fx_ref[0].astype(jnp.float32)
+    fy = fy_ref[0].astype(jnp.float32)
+    miota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    ys = (miota + hi * TILE_H).astype(jnp.float32)
+    xs = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1) + wi * TILE_W
+    ).astype(jnp.float32)
+    if zeros:
+        sx = xs + fx
+        sy = ys + fy
+        finite = jnp.isfinite(sx) & jnp.isfinite(sy)
+        sx = jnp.where(finite, sx, -4.0 * w)
+        sy = jnp.where(finite, sy, -4.0 * h)
+        sx = jnp.clip(sx, -2.0 * w, 2.0 * w)
+        sy = jnp.clip(sy, -2.0 * h, 2.0 * h)
+    else:
+        sx = jnp.clip(xs + fx, 0.0, w - 1.0)
+        sy = jnp.clip(ys + fy, 0.0, h - 1.0)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx1 = sx - x0
+    wy1 = sy - y0
+    wx0 = 1.0 - wx1
+    if zeros:
+        vx0 = (x0 >= 0.0) & (x0 <= w - 1.0)
+        vx1 = (x0 + 1.0 >= 0.0) & (x0 + 1.0 <= w - 1.0)
+        vy0 = (y0 >= 0.0) & (y0 <= h - 1.0)
+        vy1 = (y0 + 1.0 >= 0.0) & (y0 + 1.0 <= h - 1.0)
+        wx0 = jnp.where(vx0, wx0, 0.0)
+        wx1 = jnp.where(vx1, wx1, 0.0)
+        wy0m = jnp.where(vy0, 1.0 - wy1, 0.0)
+        wy1m = jnp.where(vy1, wy1, 0.0)
+    else:
+        wy0m = 1.0 - wy1
+        wy1m = wy1
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    del ymin_ref  # by == ymin on this path
+    by = by_ref[t]
+    bx = pl.multiple_of(bx_ref[t], TILE_W)
+    dy0 = jnp.clip(y0i - miota - by, -1, win_h)
+    lx0 = jnp.clip(x0i - bx, -1, win_w)
+    lx1 = jnp.clip(x0i + 1 - bx, -1, win_w)
+
+    start_dma(t, t % 2).wait()
+    slot = t % 2
+
+    wdt = win_ref.dtype
+    # both x-taps share one [win_w, 256] one-hot: lanes [0,128) select lx0,
+    # lanes [128,256) select lx1 — built with a single compare
+    iota_j2 = jax.lax.broadcasted_iota(jnp.int32, (win_w, 2 * TILE_W), 0)
+
+    def compute(nvals: int):
+        """Iterate the floor-y-deviation VALUES ``dv`` (one bilinear y-tap
+        PAIR per value — rows ``r+dv`` and ``r+dv+1``): both y-taps load as
+        one contiguous ``[2, C, win_w]`` slice reshaped to ``[2C, win_w]``,
+        and both x-taps ride the shared one-hot, so each (row, dv) is a
+        single ``[2C, win_w] @ [win_w, 256]`` MXU contraction. Per pixel the
+        four tap products accumulate in the same (y0x0, y0x1, y1x0, y1x1)
+        order as the diagonal kernel and ``warp_xla`` — bit-exact."""
+        for r in range(TILE_H):
+            lx01 = jnp.concatenate(
+                [lx0[r : r + 1, :], lx1[r : r + 1, :]], axis=1
+            )
+            lx01r = jax.lax.broadcast_in_dim(
+                lx01, (win_w, 2 * TILE_W), (0, 1)
+            )
+            # build in f32 (native (8,128) mask layout), cast to the matmul
+            # dtype: 1.0/0.0 are exact in bf16, and Mosaic rejects the direct
+            # i1 select at (16,128) packing
+            g = jnp.where(iota_j2 == lx01r, 1.0, 0.0).astype(wdt)
+            dy0r = dy0[r : r + 1, :]
+            wy0r = wy0m[r : r + 1, :]
+            wy1r = wy1m[r : r + 1, :]
+            wx0r = wx0[r : r + 1, :]
+            wx1r = wx1[r : r + 1, :]
+            acc = jnp.zeros((c, TILE_W), jnp.float32)
+            for dv in range(nvals):
+                sely0 = jnp.where(dy0r == dv, wy0r, 0.0)
+                sely1 = jnp.where(dy0r == dv, wy1r, 0.0)
+                pair = win_ref[slot, r + dv : r + dv + 2]  # [2, C, win_w]
+                m = jax.lax.dot_general(
+                    pair.reshape(2 * c, win_w), g, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [2C, 256]: [tap y, tap x] quadrants
+                acc = (
+                    acc
+                    + (sely0 * wx0r) * m[:c, :TILE_W]
+                    + (sely0 * wx1r) * m[:c, TILE_W:]
+                    + (sely1 * wx0r) * m[c:, :TILE_W]
+                    + (sely1 * wx1r) * m[c:, TILE_W:]
+                )
+            out_ref[0, r] = acc.astype(out_ref.dtype)
+
+    fast = fast_ref[t] != 0
+
+    @pl.when(fast)
+    def _():
+        compute(1)
+
+    @pl.when(jnp.logical_not(fast))
+    def _():
+        compute(win_h - TILE_H)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw")
+)
+def warp_pallas_rows_v3(
+    rows: Array,  # [B, H, C, W]
+    fx: Array,
+    fy: Array,
+    bases: Tuple[Array, Array, Array, Array],  # (ymin, by, bx, fast)
+    win_h: int = DEF_WIN_H,
+    win_w: int = DEF_WIN_W,
+    zeros: bool = False,
+    frame_hw: Optional[Tuple[int, int]] = None,
+) -> Array:
+    """Bulk pass of the MXU rows-layout kernel (garbage on non-fitting tiles —
+    the patch pass rewrites those)."""
+    b, h, c, w = rows.shape
+    hb, wb = frame_hw or (h, w)
+    assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
+    win_h = min(win_h, h)
+    win_w = min(win_w, w)
+    gh, gw = h // TILE_H, w // TILE_W
+
+    assert len(bases) == 4
+    prefetch = tuple(bases)
+    kernel = functools.partial(
+        _warp_kernel_rows_mxu,
+        h=hb, w=wb, win_h=win_h, win_w=win_w, c=c,
+        grid_hw=(gh, gw), zeros=zeros,
+    )
+    flow_spec = pl.BlockSpec(
+        (1, TILE_H, TILE_W), lambda bi, hi, wi, *_: (bi, hi, wi),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(prefetch),
+        grid=(b, gh, gw),
+        in_specs=[
+            flow_spec,
+            flow_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE_H, c, TILE_W), lambda bi, hi, wi, *_: (bi, hi, 0, wi),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_h, c, win_w), rows.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, c, w), rows.dtype),
+    )(*prefetch, fx, fy, rows)
+
+
 # ---------------------------------------------------------------------------
 # Tiered exact dispatch: pick the cheapest window that covers every tile
 # ---------------------------------------------------------------------------
@@ -377,6 +595,35 @@ def _diag_bases_fits(spans, wh, ww, h, w, hb, wb):
     )
     # span-0 tiles (constant integer displacement) take the kernel's cheap
     # 2-diagonal body — see _warp_kernel_diag_roll
+    fast = (fits & (dymax == dymin)).astype(jnp.int32)
+    ymin_b = jnp.broadcast_to(ymin, fits.shape)
+    return (
+        ymin_b.reshape(-1), by.reshape(-1), bx.reshape(-1), fits.reshape(-1),
+        fast.reshape(-1),
+    )
+
+
+def _rows_bases_fits(spans, wh, ww, h, w):
+    """Bases + fit flags for the rows-layout MXU kernel.
+
+    H is untiled in the ``[B, H, C, W]`` layout, so ``by == ymin`` exactly
+    (no 8-row alignment, no roll): a tile fits when its window is in-array
+    (callers pad the bottom by ``wh`` rows so ymin is never clipped down),
+    the variation fits ``wh - TILE_H - 1`` (kernel touches rows
+    ``r + d <= wh - 1``), and the x span sits in the 128-aligned window.
+    Returns (ymin, by, bx, fits, fast), flattened — ymin kept for signature
+    parity with the diagonal kernel's bases (the patch pass uses it)."""
+    ymin, ymax, xmin, xmax, dymin, dymax, edge = spans
+    wh = min(wh, h)
+    ww = min(ww, w)
+    by = jnp.clip(ymin, 0, max(h - wh, 0))
+    bx = jnp.clip((xmin // TILE_W) * TILE_W, 0, max(w - ww, 0))
+    fits = (
+        jnp.logical_not(edge)
+        & (by == ymin)
+        & (dymax - dymin <= wh - TILE_H - 1)
+        & (xmax - bx <= ww - 1)
+    )
     fast = (fits & (dymax == dymin)).astype(jnp.int32)
     ymin_b = jnp.broadcast_to(ymin, fits.shape)
     return (
@@ -579,13 +826,14 @@ def _run_patch(planes_prev, img_planes, fx, fy, bad, ymin, ymax, hb, wb, zeros):
     )(bad, ymin, ymax, fx, fy, img_planes, planes_prev)
 
 
-@functools.partial(jax.jit, static_argnames=("zeros", "frame_hw"))
+@functools.partial(jax.jit, static_argnames=("zeros", "frame_hw", "mxu"))
 def warp_pallas_nhwc_tiered(
     img: Array,  # [B, H, W, C], H % 8 == 0, W % 128 == 0
     fx: Array,
     fy: Array,
     zeros: bool = False,
     frame_hw: Optional[Tuple[int, int]] = None,
+    mxu: bool = False,
 ) -> Array:
     """Always-exact warp with NO data-dependent control flow: a bulk pass over
     every tile with the (24, 384) window (covers ≤8 px vertical / ≤128 px
@@ -605,7 +853,12 @@ def warp_pallas_nhwc_tiered(
     hb, wb = frame_hw or (h, w)
     spans = _tile_spans(fx, fy, h, w, hb, wb)
     wh, ww = K0_WIN
-    tymin, by, bx, fits, tfast = _diag_bases_fits(spans, wh, ww, h, w, hb, wb)
+    if mxu:
+        tymin, by, bx, fits, tfast = _rows_bases_fits(spans, wh, ww, h, w)
+    else:
+        tymin, by, bx, fits, tfast = _diag_bases_fits(
+            spans, wh, ww, h, w, hb, wb
+        )
     planes = img.transpose(0, 3, 1, 2)
     ymin, ymax = spans[0].reshape(-1), spans[1].reshape(-1)
     bad = jnp.logical_not(fits).astype(jnp.int32)
@@ -614,16 +867,36 @@ def warp_pallas_nhwc_tiered(
     # are VMEM-budget-tuned for 2-byte dtypes; 4-byte dtypes double the window
     # scratch and the patch pass's slab/temporaries, so halve the fold width
     # (f32 FILM's 36-channel fold at 540p overflowed scoped VMEM by 1.5 MB).
-    cap = 24 if zeros else 36
+    # mxu path: cap must be a multiple of 8 (C rides the window sublane dim)
+    cap = 24 if zeros else (32 if mxu else 36)
     if jnp.dtype(img.dtype).itemsize >= 4:
         cap //= 2
+        if mxu:
+            cap = max(8, cap // 8 * 8)
 
     def one_chunk(planes_c):
         # bulk pass (garbage on non-fitting tiles) + in-place exact patch
-        bulk = warp_pallas_planes_v2(
-            planes_c, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
-            frame_hw=(hb, wb), bases=(tymin, by, bx, tfast),
-        )
+        if mxu:
+            # rows-major layout for the MXU kernel; the patch pass stays on
+            # the planes layout (rare tiles — not worth a second kernel).
+            # C rides the window's sublane dim, so pad it to a multiple of 8
+            # (Mosaic rejects unaligned sublane slices).
+            cc = planes_c.shape[1]
+            c8 = -(-cc // 8) * 8
+            rows_c = planes_c.transpose(0, 2, 1, 3)
+            if c8 != cc:
+                rows_c = jnp.pad(
+                    rows_c, ((0, 0), (0, 0), (0, c8 - cc), (0, 0))
+                )
+            bulk = warp_pallas_rows_v3(
+                rows_c, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
+                frame_hw=(hb, wb), bases=(tymin, by, bx, tfast),
+            ).transpose(0, 2, 1, 3)[:, :cc]
+        else:
+            bulk = warp_pallas_planes_v2(
+                planes_c, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
+                frame_hw=(hb, wb), bases=(tymin, by, bx, tfast),
+            )
         return _run_patch(
             bulk, planes_c, fx, fy, bad, ymin, ymax, hb, wb, zeros
         )
@@ -648,11 +921,18 @@ def warp_pallas_nhwc_tiered(
         rep_t = lambda a: jnp.repeat(  # noqa: E731
             a.reshape(b, -1), n_ch, axis=0
         ).reshape(-1)
-        bulk = warp_pallas_planes_v2(
-            planes_f, fx_f, fy_f, win_h=wh, win_w=ww, zeros=zeros,
-            frame_hw=(hb, wb),
-            bases=(rep_t(tymin), rep_t(by), rep_t(bx), rep_t(tfast)),
-        )
+        fold_bases = (rep_t(tymin), rep_t(by), rep_t(bx), rep_t(tfast))
+        if mxu:
+            # cap is a multiple of 8 on this path, so no sublane padding
+            bulk = warp_pallas_rows_v3(
+                planes_f.transpose(0, 2, 1, 3), fx_f, fy_f, win_h=wh,
+                win_w=ww, zeros=zeros, frame_hw=(hb, wb), bases=fold_bases,
+            ).transpose(0, 2, 1, 3)
+        else:
+            bulk = warp_pallas_planes_v2(
+                planes_f, fx_f, fy_f, win_h=wh, win_w=ww, zeros=zeros,
+                frame_hw=(hb, wb), bases=fold_bases,
+            )
         out = _run_patch(
             bulk, planes_f, fx_f, fy_f, rep_t(bad), rep_t(ymin), rep_t(ymax),
             hb, wb, zeros,
@@ -662,18 +942,39 @@ def warp_pallas_nhwc_tiered(
 
 
 def warp_pallas_tiered(img: Array, flow: Array, zeros: bool = False) -> Array:
-    """NHWC warp (border or zeros padding), always exact vs ``warp_xla``."""
+    """NHWC warp (border or zeros padding), always exact vs ``warp_xla``.
+
+    Dispatch between the two bulk kernels: the MXU rows-layout kernel
+    (``_warp_kernel_rows_mxu``) amortizes its per-tile one-hot builds over
+    all channels of a chunk, so it targets WIDE bf16 features (measured on
+    v5e: c=7 slightly slower than the diagonal kernel); f32 stays on the
+    lane-crossbar diagonal kernel regardless (its MXU matmul is a bf16x3
+    decomposition — not bit-exact). ``CFI_WARP_MXU``: ``0`` (current
+    default — flips to ``auto`` once the wide-channel win is re-measured
+    on hardware) never uses it; ``auto`` uses it for bf16 c>=16; ``force``
+    always (kernel A/B testing)."""
+    import os
+
+    env = os.environ.get("CFI_WARP_MXU", "0")
     b, h, w, c = img.shape
+    if env == "0":
+        mxu = False
+    elif env == "force":
+        mxu = True
+    else:
+        mxu = c >= 16 and jnp.dtype(img.dtype).itemsize <= 2
     # pad the bottom by the bulk kernel's diagonal reach so window bases for
-    # the last tile rows are never clipped (see _diag_bases_fits); edge
+    # the last tile rows are never clipped (see _diag_bases_fits /
+    # _rows_bases_fits — the unaligned rows path needs the full win_h); edge
     # replicate keeps border-clamp semantics identical
-    ph = (-h % TILE_H) + (K0_WIN[0] - TILE_H)
+    ph = (-h % TILE_H) + (K0_WIN[0] if mxu else K0_WIN[0] - TILE_H)
     pw = -w % TILE_W
     if ph or pw or w < TILE_W:
         pw = max(pw, TILE_W - w)
         img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
         flow = jnp.pad(flow, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
     out = warp_pallas_nhwc_tiered(
-        img, flow[..., 0], flow[..., 1], zeros=zeros, frame_hw=(h, w)
+        img, flow[..., 0], flow[..., 1], zeros=zeros, frame_hw=(h, w),
+        mxu=mxu,
     )
     return out[:, :h, :w, :]

@@ -44,6 +44,22 @@ def rng():
     return np.random.default_rng(42)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _warp_mxu_env(value):
+    prev = os.environ.get("CFI_WARP_MXU")
+    os.environ["CFI_WARP_MXU"] = value
+    try:
+        yield
+    finally:
+        if prev is None:
+            os.environ.pop("CFI_WARP_MXU", None)
+        else:
+            os.environ["CFI_WARP_MXU"] = prev
+
+
 def _smooth_flow(b, h, w, amp, scale=200.0):
     gy, gx = np.mgrid[0:h, 0:w]
     base = np.stack(
@@ -123,6 +139,38 @@ class TestWarpTiered:
             rng.standard_normal((1, 256, 512, 2)) * 4.0, jnp.float32
         )
         _assert_warp_exact(img, flow, zeros)
+
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_mxu_kernel_forced_narrow(self, rng, zeros):
+        # force the MXU rows kernel on a narrow image (the policy would pick
+        # the diagonal kernel): exactness must hold for the sublane-padded
+        # single-chunk path too, across bulk + patch regimes
+        with _warp_mxu_env("force"):
+            img = jnp.asarray(
+                rng.standard_normal((2, 256, 512, 7)), jnp.bfloat16
+            )
+            for flow in (
+                _smooth_flow(2, 256, 512, amp=0.4),
+                _smooth_flow(2, 256, 512, amp=20.0, scale=60.0),
+                jnp.asarray(
+                    rng.standard_normal((2, 256, 512, 2)) * 400.0, jnp.float32
+                ),
+            ):
+                _assert_warp_exact(img, flow, zeros)
+
+    @pytest.mark.parametrize("zeros", [False, True])
+    def test_mxu_kernel_wide_smooth_and_const(self, rng, zeros):
+        # the MXU kernel's target case: wide bf16 features (FILM/GMFSS
+        # feature warps), including the channel fold (c=64 > cap=32).
+        # Smooth (multi-row-pair) and constant (fast-path) flows both must
+        # be bit-exact vs warp_xla
+        with _warp_mxu_env("auto"):
+            img = jnp.asarray(
+                rng.standard_normal((2, 256, 512, 64)), jnp.bfloat16
+            )
+            _assert_warp_exact(img, _smooth_flow(2, 256, 512, amp=6.0), zeros)
+            const = jnp.full((2, 256, 512, 2), 5.25, jnp.float32)
+            _assert_warp_exact(img, const, zeros)
 
     def test_nonfinite_flow_zeros_contributes_nothing(self, rng):
         from comfyui_frame_interpolation_tpu.ops.pallas.warp_kernel import (
