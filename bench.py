@@ -418,6 +418,24 @@ def bench_xvfi(batch=2):
     )
 
 
+def bench_momo(batch=1):
+    """MoMo diffusion VFI at 1080p, node-default 8 denoising steps.
+
+    The torch MoMo arch needs ``diffusers`` (absent in this image), so the
+    random weights come from the JAX-side ``momo.init_params`` — same
+    state-dict shapes as the reference checkpoints (see its docstring);
+    throughput is weight-independent for a fixed architecture."""
+    from comfyui_frame_interpolation_tpu.models import momo
+
+    params = momo.init_params(jax.random.PRNGKey(0), "momo-base.pth")
+    return _measure_pair_model(
+        momo.make_model_fn(
+            params, "momo-base.pth", num_inference_steps=8, dtype=jnp.bfloat16
+        ),
+        batch, 1080, 1920, iters=3,
+    )
+
+
 def _load_demo_pair(height=None, width=None):
     from PIL import Image
 
@@ -625,15 +643,82 @@ _RES = {
     "film": "1080p", "m2m": "1080p", "ifrnet": "1080p", "sepconv": "720p",
     "flavr": "1080p", "gmfss": "1080p", "stmfnet": "1080p", "atm": "1080p",
     "eisai": "540p", "cain": "1080p", "ifunet": "1080p", "amt": "1080p",
-    "xvfi": "1080p",
+    "xvfi": "1080p", "momo": "1080p",
 }
+
+
+def matrix_mode():
+    """Run every family config, print the JSON lines, AND write the results
+    table to BENCH_MATRIX.md (the committed full-matrix artifact)."""
+    import datetime
+    import subprocess
+
+    rows = []
+    for name in ["rife"] + sorted(_RES):
+        if name == "rife":
+            fps, base, est = bench_rife(), BASELINE_FPS, False
+        else:
+            try:
+                fps = globals()[f"bench_{name}"]()
+            except Exception as exc:
+                print(json.dumps({"metric": f"{name}_bench_error",
+                                  "error": repr(exc)[:300]}))
+                rows.append((name, None, None, repr(exc)[:120]))
+                continue
+            base, est = SECONDARY_BASELINES[name], True
+        res = "1080p" if name == "rife" else _RES[name]
+        _emit(
+            f"{name}{'47' if name == 'rife' else ''}_{res}"
+            "_2x_interpolated_frames_per_sec",
+            fps, base, estimated=est,
+        )
+        rows.append((name, fps, base, None))
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        commit = "?"
+    dev = jax.devices()[0]
+    lines = [
+        "# Full benchmark matrix",
+        "",
+        f"Measured {datetime.date.today().isoformat()} at commit `{commit}` "
+        f"on `{dev.device_kind}` ({dev.platform}); interpolated frames/sec, "
+        "2x interpolation, bf16, random weights (throughput is "
+        "weight-independent), median-of-rounds timing "
+        "(`utils/benchmark.py`). Baselines for the secondary families are "
+        "ESTIMATES (see `bench.py:SECONDARY_BASELINES`); the RIFE baseline "
+        "is BASELINE.md's estimated reference throughput.",
+        "",
+        "| Config | resolution | frames/sec | vs baseline |",
+        "|---|---|---|---|",
+    ]
+    for name, fps, base, err in rows:
+        res = "1080p" if name == "rife" else _RES[name]
+        if err is not None:
+            lines.append(f"| {name} | {res} | ERROR | `{err}` |")
+        else:
+            lines.append(
+                f"| {name} | {res} | {fps:.2f} | {fps / base:.2f}x |"
+            )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_MATRIX.md"
+    )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"metric": "bench_matrix_written", "path": path,
+                      "rows": len(rows)}))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--metric", default="rife",
-        choices=["rife", "psnr", "psnr_torch", "all"] + sorted(_RES),
+        choices=["rife", "psnr", "psnr_torch", "all", "matrix"]
+        + sorted(_RES),
     )
     args = ap.parse_args()
     if args.metric == "psnr":
@@ -641,6 +726,9 @@ def main():
         return
     if args.metric == "psnr_torch":
         psnr_torch_mode()
+        return
+    if args.metric == "matrix":
+        matrix_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]

@@ -354,6 +354,178 @@ def apply(
     return _synthesize(params["synth_model"], frames6, flows)
 
 
+def _rand_conv(key, o, i, k=3, bias=True):
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(i * k * k)
+    p = {"weight": jax.random.uniform(k1, (o, i, k, k), jnp.float32, -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(k2, (o,), jnp.float32, -bound, bound)
+    return p
+
+
+def _rand_linear(key, o, i):
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(i)
+    return {
+        "weight": jax.random.uniform(k1, (o, i), jnp.float32, -bound, bound),
+        "bias": jax.random.uniform(k2, (o,), jnp.float32, -bound, bound),
+    }
+
+
+def _gn(c):
+    return {"weight": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def init_params(key, ckpt_name: str = "momo-base.pth") -> Params:
+    """Random parameter tree with the reference checkpoints' state-dict shapes
+    (``unet.py:87-214``: ConvexUpUNet2DModel(in=3, out=4, block_out_channels=
+    ``_DIMS[ckpt_name]``); ``synthesis.py:9-51``: SynthesisNet(latent_dim=32)).
+    Used by throughput benchmarks (the torch MoMo arch needs ``diffusers``,
+    absent in this image, so random weights can't be built through it) — the
+    node path still converts real checkpoints via ``utils.ckpt``."""
+    dims = _DIMS[ckpt_name]
+    keys = iter(jax.random.split(key, 512))
+
+    def resnet(cin, cout, temb_dim):
+        p = {
+            "norm1": _gn(cin),
+            "conv1": _rand_conv(next(keys), cout, cin),
+            "time_emb_proj": _rand_linear(next(keys), cout, temb_dim),
+            "norm2": _gn(cout),
+            "conv2": _rand_conv(next(keys), cout, cout),
+        }
+        if cin != cout:
+            p["conv_shortcut"] = _rand_conv(next(keys), cout, cin, k=1)
+        return p
+
+    def unet2d_core(cin, cout, boc):
+        """diffusers UNet2DModel (DownBlock2D/UpBlock2D, layers_per_block=2)."""
+        temb = 4 * boc[0]
+        n = len(boc)
+        p = {
+            "time_embedding": {
+                "linear_1": _rand_linear(next(keys), temb, boc[0]),
+                "linear_2": _rand_linear(next(keys), temb, temb),
+            },
+            "conv_in": _rand_conv(next(keys), boc[0], cin),
+            "down_blocks": {},
+            "mid_block": {
+                "resnets": {
+                    "0": resnet(boc[-1], boc[-1], temb),
+                    "1": resnet(boc[-1], boc[-1], temb),
+                }
+            },
+            "up_blocks": {},
+            "conv_norm_out": _gn(boc[0]),
+            "conv_out": _rand_conv(next(keys), cout, boc[0]),
+        }
+        for i in range(n):
+            c_in_i = boc[i - 1] if i > 0 else boc[0]
+            blk = {
+                "resnets": {
+                    "0": resnet(c_in_i, boc[i], temb),
+                    "1": resnet(boc[i], boc[i], temb),
+                }
+            }
+            if i != n - 1:
+                blk["downsamplers"] = {
+                    "0": {"conv": _rand_conv(next(keys), boc[i], boc[i])}
+                }
+            p["down_blocks"][str(i)] = blk
+        rboc = boc[::-1]
+        for i in range(n):
+            out_c = rboc[i]
+            prev_c = boc[-1] if i == 0 else rboc[i - 1]
+            in_c = rboc[min(i + 1, n - 1)]
+            blk = {"resnets": {}}
+            for j in range(3):
+                skip_c = in_c if j == 2 else out_c
+                r_in = prev_c if j == 0 else out_c
+                blk["resnets"][str(j)] = resnet(r_in + skip_c, out_c, temb)
+            if i != n - 1:
+                blk["upsamplers"] = {
+                    "0": {"conv": _rand_conv(next(keys), out_c, out_c)}
+                }
+            p["up_blocks"][str(i)] = blk
+        return p
+
+    d0 = dims[0]
+    temb0 = 4 * d0
+    mask_w = 2 * 9 * 64
+    hidden = -(-(4 + d0) // 32) * 32  # UpMaskBlock2D hidden_dim (unet.py:325)
+    out_up = {
+        "resnets": {
+            "0": resnet(hidden, d0, temb0),
+            "1": resnet(2 * d0, d0, temb0),
+            "2": resnet(2 * d0, d0, temb0),
+        },
+        "proj_out": {
+            "0": _gn(d0),
+            "2": _rand_conv(next(keys), mask_w, d0),
+        },
+    }
+    if hidden != 4 + d0:
+        out_up["proj_in"] = _rand_conv(next(keys), hidden, 4 + d0)
+    model = {
+        "time_embedding": {
+            "linear_1": _rand_linear(next(keys), temb0, d0),
+            "linear_2": _rand_linear(next(keys), temb0, temb0),
+        },
+        "down_patch": {"0": _rand_conv(next(keys), d0 // 2, 3, k=8)},
+        "down_latent": {"0": _rand_conv(next(keys), d0, 4, k=8)},
+        "proj_inputs": _rand_conv(next(keys), d0, 2 * d0, k=1),
+        "first_block": {
+            "resnets": {
+                "0": resnet(d0, d0, temb0),
+                "1": resnet(d0, d0, temb0),
+            }
+        },
+        "mid_model": unet2d_core(d0, 4, tuple(dims[1:])),
+        "out_up": out_up,
+    }
+
+    ld = 32  # SynthesisNet latent_dim; dim = 2*ld
+    synth = {
+        "encoder": {
+            "0": _rand_conv(next(keys), ld, 3),
+            "2": _rand_conv(next(keys), ld, ld),
+            "4": _rand_conv(next(keys), ld, ld),
+        },
+        "decoder": {
+            "1": _rand_conv(next(keys), 2 * ld, 2 * ld),
+            "3": _rand_conv(next(keys), 4, 2 * ld),
+        },
+        "blender": {
+            "in_feats": {
+                "0": _rand_conv(next(keys), 2 * ld, 4 + 3 + 2 * ld),
+                "2": _rand_conv(next(keys), 2 * ld, 2 * ld),
+            },
+            "down_blocks": {
+                "0": {"block": {
+                    "0": _rand_conv(next(keys), 4 * ld, 2 * ld),
+                    "2": _rand_conv(next(keys), 4 * ld, 4 * ld),
+                }},
+                "1": {"block": {
+                    "0": _rand_conv(next(keys), 8 * ld, 4 * ld),
+                    "2": _rand_conv(next(keys), 8 * ld, 8 * ld),
+                }},
+            },
+            "up_blocks": {
+                "0": {
+                    "conv1": _rand_conv(next(keys), 4 * ld, 8 * ld),
+                    "conv2": _rand_conv(next(keys), 4 * ld, 8 * ld),
+                },
+                "1": {
+                    "conv1": _rand_conv(next(keys), 2 * ld, 4 * ld),
+                    "conv2": _rand_conv(next(keys), 2 * ld, 4 * ld),
+                },
+            },
+            "to_out": _rand_conv(next(keys), 2 * ld, 2 * ld),
+        },
+    }
+    return {"model": model, "synth_model": synth}
+
+
 def make_model_fn(
     params: Params, ckpt_name: str, num_inference_steps: int = 8,
     seed: int = 0, dtype=jnp.float32,

@@ -83,3 +83,16 @@ def test_ddpm_trailing_timesteps():
 )
 def test_momo_full_parity():  # pragma: no cover - runs only with diffusers
     pass
+
+
+@pytest.mark.parametrize("ckpt", momo.CKPT_NAMES)
+def test_init_params_runs_end_to_end(ckpt):
+    # the random tree (used by bench_momo; the torch arch needs diffusers)
+    # must have exactly the shapes apply() consumes, for both variants
+    params = momo.init_params(jax.random.PRNGKey(0), ckpt)
+    fn = momo.make_model_fn(params, ckpt, num_inference_steps=2)
+    f0 = jnp.zeros((1, 64, 64, 3))
+    f1 = jnp.full((1, 64, 64, 3), 0.5)
+    out = fn(f0, f1, jnp.full((1,), 0.5))
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
