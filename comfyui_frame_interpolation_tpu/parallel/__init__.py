@@ -1,3 +1,4 @@
+from .infer import make_sharded_model_fn
 from .mesh import (
     MIN_ROWS_PER_SHARD,
     data_sharding,
@@ -12,6 +13,7 @@ __all__ = [
     "data_sharding",
     "frame_sharding",
     "make_mesh",
+    "make_sharded_model_fn",
     "replicated",
     "l1_loss",
     "make_train_step",
