@@ -82,6 +82,8 @@ def _measure_pair_model(model_fn, batch, height, width, iters=5, tag=None):
     from comfyui_frame_interpolation_tpu.utils.benchmark import measure
     from comfyui_frame_interpolation_tpu.utils.profiling import maybe_profile
 
+    if tag is None:  # default the trace dir to the calling bench_* function
+        tag = sys._getframe(1).f_code.co_name
     f0 = _rand_frames(batch, height, width, 0)
     f1 = _rand_frames(batch, height, width, 1)
     t = jnp.full((batch,), 0.5, jnp.float32)
@@ -655,17 +657,17 @@ def matrix_mode():
 
     rows = []
     for name in ["rife"] + sorted(_RES):
-        if name == "rife":
-            fps, base, est = bench_rife(), BASELINE_FPS, False
-        else:
-            try:
-                fps = globals()[f"bench_{name}"]()
-            except Exception as exc:
-                print(json.dumps({"metric": f"{name}_bench_error",
-                                  "error": repr(exc)[:300]}))
-                rows.append((name, None, None, repr(exc)[:120]))
-                continue
-            base, est = SECONDARY_BASELINES[name], True
+        try:
+            fps = bench_rife() if name == "rife" else globals()[f"bench_{name}"]()
+        except Exception as exc:
+            print(json.dumps({"metric": f"{name}_bench_error",
+                              "error": repr(exc)[:300]}))
+            rows.append((name, None, None, repr(exc)[:120]))
+            continue
+        base, est = (
+            (BASELINE_FPS, False) if name == "rife"
+            else (SECONDARY_BASELINES[name], True)
+        )
         res = "1080p" if name == "rife" else _RES[name]
         _emit(
             f"{name}{'47' if name == 'rife' else ''}_{res}"

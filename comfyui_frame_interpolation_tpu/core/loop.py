@@ -143,6 +143,17 @@ class _StreamOut:
             tid, arr = self.in_flight.pop(0)
             self.host[tid] = np.asarray(arr)
 
+    def materialize(self, task_id: int) -> np.ndarray:
+        """Host copy of one produced frame, draining its in-flight D2H if the
+        bounded flush hasn't reached it yet."""
+        if task_id not in self.host:
+            for i, (tid, arr) in enumerate(self.in_flight):
+                if tid == task_id:
+                    self.host[tid] = np.asarray(arr)
+                    self.in_flight.pop(i)
+                    break
+        return self.host[task_id]
+
 
 def _gather(
     frames: Array, produced: Dict[int, Array], sources: Sequence[Source]
@@ -259,47 +270,18 @@ def _run_plan_streaming(
                 consumers[idx] = consumers.get(idx, 0) + 1
 
     dev_produced: Dict[int, Array] = {}  # still needed by later tasks
-    host_produced: Dict[int, np.ndarray] = {}
-    in_flight: List = []  # (task_id, device_array) with async D2H started
-
-    orig_cache: Dict[int, Array] = {}
-    orig_lru: List[int] = []
-
-    def get_orig(idx: int) -> Array:
-        if idx in orig_cache:
-            orig_lru.remove(idx)
-            orig_lru.append(idx)
-            return orig_cache[idx]
-        arr = jax.device_put(frames_np[idx])
-        orig_cache[idx] = arr
-        orig_lru.append(idx)
-        while len(orig_cache) > max_resident:
-            del orig_cache[orig_lru.pop(0)]
-        return arr
+    orig = _OrigLRU(frames_np, max_resident)
+    outs = _StreamOut()
 
     def get_src(src: Source) -> Array:
         kind, idx = src
         if kind == "orig":
-            return get_orig(idx)
+            return orig.get(idx)
         if idx in dev_produced:
             return dev_produced[idx]
         # consumer ran after the buffer was retired (shouldn't happen with
         # correct counts, but stay correct): re-upload the host copy
-        return jax.device_put(_materialize(idx))
-
-    def _materialize(task_id: int) -> np.ndarray:
-        if task_id not in host_produced:
-            for i, (tid, arr) in enumerate(in_flight):
-                if tid == task_id:
-                    host_produced[tid] = np.asarray(arr)
-                    in_flight.pop(i)
-                    break
-        return host_produced[task_id]
-
-    def flush_in_flight(keep_last: int) -> None:
-        while len(in_flight) > keep_last:
-            tid, arr = in_flight.pop(0)
-            host_produced[tid] = np.asarray(arr)
+        return jax.device_put(outs.materialize(idx))
 
     progress = _Progress("run_plan[streaming]", len(plan.tasks))
     for li, level in enumerate(plan.levels):
@@ -318,11 +300,7 @@ def _run_plan_streaming(
             progress.step(n, li)
             for i, task in enumerate(chunk):
                 m = mids[i]
-                try:
-                    m.copy_to_host_async()
-                except AttributeError:
-                    pass
-                in_flight.append((task.id, m))
+                outs.add(task.id, m)
                 if consumers.get(task.id, 0) > 0:
                     dev_produced[task.id] = m
             # release device buffers whose consumers have all run
@@ -333,15 +311,15 @@ def _run_plan_streaming(
                         if consumers[idx] == 0:
                             dev_produced.pop(idx, None)
             # keep one chunk of D2H copies in flight for overlap
-            flush_in_flight(keep_last=batch_size)
+            outs.flush(keep_last=batch_size)
 
-    flush_in_flight(keep_last=0)
+    outs.flush(keep_last=0)
     progress.finish(len(plan.output))
 
     np_dtype = np.dtype(out_dtype) if out_dtype is not None else frames_np.dtype
     out = np.empty((len(plan.output),) + frames_np.shape[1:], np_dtype)
     for i, (kind, idx) in enumerate(plan.output):
-        out[i] = frames_np[idx] if kind == "orig" else host_produced[idx]
+        out[i] = frames_np[idx] if kind == "orig" else outs.host[idx]
     return out
 
 
@@ -558,8 +536,11 @@ def _run_plan_pair_cached_streaming(
                 mids = infer_fn(f0, f1, cache, tvec)
                 for i, k in enumerate(chunk):
                     outs.add(groups[k][j].id, mids[i])
+                # flush inside the timestep loop: a multiplier-m pair would
+                # otherwise hold m*batch outputs in HBM — exactly the long
+                # clip this streaming path exists to bound
+                outs.flush(keep_last=batch_size)
                 progress.step(n, 0)
-            outs.flush(keep_last=batch_size)
     outs.flush(keep_last=0)
     progress.finish(len(plan.output))
 

@@ -157,3 +157,27 @@ def test_long_clip_bounded_budget():
         frames, plan, _reuse, _infer, batch_size=8, hbm_budget_bytes=budget
     )
     assert isinstance(out, np.ndarray) and len(out) == len(plan.output)
+
+
+def test_pair_cached_streaming_in_flight_bounded(monkeypatch, frames):
+    """Regression: the pair-cached streaming executor must flush D2H inside the
+    per-pair timestep loop — a multiplier-m pair otherwise holds m*batch device
+    buffers, defeating the HBM bound (found holding ~m*batch in review)."""
+    from comfyui_frame_interpolation_tpu.core import loop
+
+    peak = {"v": 0}
+    orig_add = loop._StreamOut.add
+
+    def add(self, tid, arr):
+        orig_add(self, tid, arr)
+        peak["v"] = max(peak["v"], len(self.in_flight))
+
+    monkeypatch.setattr(loop._StreamOut, "add", add)
+    batch = 2
+    plan = plan_timestep(len(frames), 50)  # 49 timesteps per pair
+    out = run_plan_pair_cached(
+        frames, plan, _reuse, _infer, batch_size=batch, hbm_budget_bytes=1
+    )
+    assert isinstance(out, np.ndarray)
+    # keep_last=batch in flight + one freshly-added chunk
+    assert peak["v"] <= 2 * batch, peak["v"]
