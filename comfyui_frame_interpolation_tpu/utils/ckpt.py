@@ -30,6 +30,9 @@ __all__ = [
     "to_jax_tree",
     "save_npz",
     "load_npz",
+    "save_orbax",
+    "load_orbax",
+    "main",
 ]
 
 
@@ -136,3 +139,49 @@ def load_npz(path: str) -> Dict:
             node = node.setdefault(part, {})
         node[parts[-1]] = flat[key]
     return tree
+
+
+def save_orbax(tree: Dict, path: str) -> None:
+    """Save a converted tree as an orbax checkpoint directory (the JAX-native
+    format for sharded/async restore; ``.npz`` stays the default cache)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), tree)
+
+
+def load_orbax(path: str) -> Dict:
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+
+def main(argv=None) -> int:
+    """One-time torch→JAX conversion CLI (SURVEY §5 checkpoint/resume row):
+
+    ``python -m comfyui_frame_interpolation_tpu.utils.ckpt SRC.pth [DST]``
+
+    handles every reference container layout (raw/nested/``module.``-prefixed
+    pickles, TorchScript archives). ``DST`` ending in ``.npz`` (default:
+    ``SRC`` with ``.npz``) writes the flat-key numpy archive the framework's
+    loader caches; a directory path writes an orbax checkpoint instead.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("src", help="torch .pth/.pkl pickle or TorchScript archive")
+    ap.add_argument("dst", nargs="?", help=".npz file or orbax directory")
+    args = ap.parse_args(argv)
+    tree = load_torch_state_dict(args.src)
+    dst = args.dst or os.path.splitext(args.src)[0] + ".npz"
+    if dst.endswith(".npz"):
+        save_npz(tree, dst)
+    else:
+        save_orbax(tree, dst)
+    n = len(flatten_tree(tree))
+    print(f"converted {args.src} -> {dst} ({n} tensors)")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via tests calling main
+    raise SystemExit(main())

@@ -133,3 +133,31 @@ def test_film_torchscript_keyspace(tmp_path):
         atol=2e-4,
         rtol=1e-3,
     )
+
+
+def test_cli_converts_to_npz_and_orbax(tmp_path):
+    torch = pytest.importorskip("torch")
+    from comfyui_frame_interpolation_tpu.utils.ckpt import (
+        load_npz, load_orbax, main,
+    )
+
+    sd = {
+        "module.enc.0.weight": torch.arange(12.0).reshape(3, 4),
+        "module.enc.0.bias": torch.zeros(3),
+        "head.weight": torch.ones(2, 3),
+    }
+    src = tmp_path / "model.pth"
+    torch.save({"state_dict": sd}, str(src))
+
+    dst_npz = tmp_path / "model.npz"
+    assert main([str(src), str(dst_npz)]) == 0
+    tree = load_npz(str(dst_npz))
+    assert tree["enc"]["0"]["weight"].shape == (3, 4)
+    np.testing.assert_array_equal(tree["head"]["weight"], np.ones((2, 3)))
+
+    dst_orbax = tmp_path / "model_orbax"
+    assert main([str(src), str(dst_orbax)]) == 0
+    tree2 = load_orbax(str(dst_orbax))
+    np.testing.assert_array_equal(
+        tree2["enc"]["0"]["weight"], tree["enc"]["0"]["weight"]
+    )
