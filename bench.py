@@ -60,6 +60,11 @@ def bench_rife(height=1080, width=1920, batch=8, iters=10, dtype=jnp.bfloat16):
     f0 = _rand_frames(batch, height, width, 0)
     f1 = _rand_frames(batch, height, width, 1)
     t = jnp.full((batch,), 0.5, jnp.float32)
+    import time
+
+    t0 = time.perf_counter()
+    float(jnp.sum(model_fn(f0, f1, t)))  # cold compile (or cache hit) + warm
+    _LAST_COMPILE_S["value"] = round(time.perf_counter() - t0, 1)
     with maybe_profile("bench_rife"):
         sec_per_call = measure(model_fn, f0, f1, t, iters=iters)
     return batch / sec_per_call
@@ -78,7 +83,12 @@ def _reference_params(arch_builder):
     return to_jax_tree(nest_state_dict(arch_builder().state_dict()))
 
 
+_LAST_COMPILE_S = {"value": None}  # cold-compile seconds of the last bench
+
+
 def _measure_pair_model(model_fn, batch, height, width, iters=5, tag=None):
+    import time
+
     from comfyui_frame_interpolation_tpu.utils.benchmark import measure
     from comfyui_frame_interpolation_tpu.utils.profiling import maybe_profile
 
@@ -87,6 +97,9 @@ def _measure_pair_model(model_fn, batch, height, width, iters=5, tag=None):
     f0 = _rand_frames(batch, height, width, 0)
     f1 = _rand_frames(batch, height, width, 1)
     t = jnp.full((batch,), 0.5, jnp.float32)
+    t0 = time.perf_counter()
+    float(jnp.sum(model_fn(f0, f1, t)))  # cold compile (or cache hit) + warm
+    _LAST_COMPILE_S["value"] = round(time.perf_counter() - t0, 1)
     with maybe_profile(tag):
         sec = measure(model_fn, f0, f1, t, iters=iters)
     return batch / sec
@@ -657,12 +670,13 @@ def matrix_mode():
 
     rows = []
     for name in ["rife"] + sorted(_RES):
+        _LAST_COMPILE_S["value"] = None
         try:
             fps = bench_rife() if name == "rife" else globals()[f"bench_{name}"]()
         except Exception as exc:
             print(json.dumps({"metric": f"{name}_bench_error",
                               "error": repr(exc)[:300]}))
-            rows.append((name, None, None, repr(exc)[:120]))
+            rows.append((name, None, None, repr(exc)[:120], None))
             continue
         base, est = (
             (BASELINE_FPS, False) if name == "rife"
@@ -674,7 +688,7 @@ def matrix_mode():
             "_2x_interpolated_frames_per_sec",
             fps, base, estimated=est,
         )
-        rows.append((name, fps, base, None))
+        rows.append((name, fps, base, None, _LAST_COMPILE_S["value"]))
 
     try:
         commit = subprocess.run(
@@ -695,16 +709,17 @@ def matrix_mode():
         "ESTIMATES (see `bench.py:SECONDARY_BASELINES`); the RIFE baseline "
         "is BASELINE.md's estimated reference throughput.",
         "",
-        "| Config | resolution | frames/sec | vs baseline |",
-        "|---|---|---|---|",
+        "| Config | resolution | frames/sec | vs baseline | cold compile (s) |",
+        "|---|---|---|---|---|",
     ]
-    for name, fps, base, err in rows:
+    for name, fps, base, err, compile_s in rows:
         res = "1080p" if name == "rife" else _RES[name]
         if err is not None:
-            lines.append(f"| {name} | {res} | ERROR | `{err}` |")
+            lines.append(f"| {name} | {res} | ERROR | `{err}` | — |")
         else:
+            cs = "?" if compile_s is None else f"{compile_s:.0f}"
             lines.append(
-                f"| {name} | {res} | {fps:.2f} | {fps / base:.2f}x |"
+                f"| {name} | {res} | {fps:.2f} | {fps / base:.2f}x | {cs} |"
             )
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_MATRIX.md"
