@@ -207,3 +207,26 @@ def test_sharded_model_fn_through_executor():
     out = np.asarray(run_plan(frames, plan, sharded_fn, batch_size=4))
 
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@needs_multidevice
+def test_sharded_model_fn_window4_signature():
+    """The 4-frame-window signature (run_plan_window4's model_fn) must work
+    through make_sharded_model_fn — regression for the 3-arg-only first cut."""
+    from comfyui_frame_interpolation_tpu.core import plan_window4, run_plan_window4
+    from comfyui_frame_interpolation_tpu.parallel import make_sharded_model_fn
+
+    @jax.jit
+    def window_blend(f0, f1, f2, f3):
+        return 0.1 * f0 + 0.4 * f1 + 0.4 * f2 + 0.1 * f3
+
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.random((6, 128, 128, 3), np.float32))
+    plan = plan_window4(6)
+
+    ref = np.asarray(run_plan_window4(frames, plan, window_blend, batch_size=4))
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_model_fn(window_blend, mesh)
+    out = np.asarray(run_plan_window4(frames, plan, sharded, batch_size=4))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
