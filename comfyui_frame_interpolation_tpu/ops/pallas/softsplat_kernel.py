@@ -241,8 +241,8 @@ def softsplat_pallas_planes(
         kernel,
         grid=(b, gh, gw),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, c, TILE_H, TILE_W), lambda bi, hi, wi: (bi, 0, hi, wi),

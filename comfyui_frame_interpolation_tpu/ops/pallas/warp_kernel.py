@@ -262,7 +262,7 @@ def warp_pallas_planes_v2(
         in_specs=[
             flow_spec,
             flow_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, c, TILE_H, TILE_W), lambda bi, hi, wi, *_: (bi, 0, hi, wi),
@@ -488,7 +488,7 @@ def warp_pallas_rows_v3(
         in_specs=[
             flow_spec,
             flow_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, TILE_H, c, TILE_W), lambda bi, hi, wi, *_: (bi, hi, 0, wi),
@@ -807,10 +807,10 @@ def _run_patch(planes_prev, img_planes, fx, fy, bad, ymin, ymax, hb, wb, zeros):
         in_specs=[
             flow_spec,
             flow_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((c, TILE_H, w), img_planes.dtype),
             pltpu.VMEM((c, TILE_H, TILE_W), planes_prev.dtype),
