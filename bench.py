@@ -346,6 +346,7 @@ def bench_eisai(batch=1):
     torch_ops_stub.install()
     E._install_kornia_stub()
     E._install_torchvision_stub()
+    E._install_cv2_stub()
     torch.Tensor.cuda = lambda self, *a, **k: self
     from conftest import load_reference_module
 
@@ -404,9 +405,12 @@ def bench_amt(batch=2):
         )
 
     params = _reference_params(build)
+    # AMT's padding contract is caller-side: the node (like the reference,
+    # amt/__init__.py:71-72) pads the whole clip to a multiple of 16 once,
+    # so the model processes 1088-row frames. Bench at that padded size.
     return _measure_pair_model(
         amt.make_model_fn(params, "amt-s.pth", dtype=jnp.bfloat16),
-        batch, 1080, 1920,
+        batch, 1088, 1920,
     )
 
 

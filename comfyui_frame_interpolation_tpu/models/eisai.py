@@ -351,7 +351,10 @@ def rfr_flow(p: Params, image1: Array, image2: Array, iters: int = 12) -> Array:
     pyr = _corr_pyramid(fmap1, fmap2)
 
     cnet = _basic_encoder(p["fnet"], im1)
-    net = jnp.tanh(cnet[..., :128])
+    # recurrent GRU state stays f32: the correlation features are f32 by
+    # construction, so the update block returns an f32 net — under bf16
+    # params a bf16 initial carry would make the scan carry dtype-unstable
+    net = jnp.tanh(cnet[..., :128]).astype(jnp.float32)
     inp = jax.nn.relu(cnet[..., 128:])
 
     gh, gw = h8 // 8, w8 // 8

@@ -201,6 +201,19 @@ def _install_torchvision_stub():
     sys.modules["torchvision.transforms.functional"] = tfunc
 
 
+def _install_cv2_stub():
+    """eisai_arch uses contrib-only ``cv2.optflow`` at module level; stub it
+    when the installed opencv build lacks it (also used by bench_eisai)."""
+    import cv2
+
+    if not hasattr(cv2, "optflow"):
+        class _AnyFactory(types.SimpleNamespace):
+            def __getattr__(self, name):
+                return lambda *a, **k: None
+
+        cv2.optflow = _AnyFactory()
+
+
 @pytest.fixture(scope="module")
 def ref_eisai():
     import torch_ops_stub
@@ -211,14 +224,7 @@ def ref_eisai():
     # stray module-level deps of eisai_arch
     for name in ("cv2", "requests", "scipy", "PIL", "tqdm"):
         pytest.importorskip(name.split(".")[0])
-    import cv2
-
-    if not hasattr(cv2, "optflow"):  # contrib-only; module-level use in arch
-        class _AnyFactory(types.SimpleNamespace):
-            def __getattr__(self, name):
-                return lambda *a, **k: None
-
-        cv2.optflow = _AnyFactory()
+    _install_cv2_stub()
     orig_cuda = torch.Tensor.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
     try:
