@@ -355,41 +355,330 @@ def band_membership(ten_flow: Array, h: int, w: int):
     return present, remainder
 
 
+# meta columns for the stacked kernel (int32; band bounds are integral)
+_M_OFFY, _M_OFFX = 0, 1
+_M_LOY, _M_HIY, _M_LOX, _M_HIX = 2, 3, 4, 5
+_M_PRESENT, _M_NXT, _M_RANK, _M_NLIVE = 6, 7, 8, 9
+_M_COLS = 10
+
+
+def _splat_kernel_stacked(
+    meta_ref,  # scalar-prefetched [nb, _M_COLS] int32
+    vals_ref,  # ANY [B, C, H, W] (native dtype)
+    flow_ref,  # ANY [B, 2, H, W] float32 (fx, fy)
+    out_ref,  # VMEM block [1, C, 8, 128], revisited across the band dim
+    win_ref,  # VMEM scratch [2, C, WIN_H, WIN_W]
+    fwin_ref,  # VMEM scratch [2, 2, WIN_H, WIN_W] float32
+    sem,
+    *,
+    h: int,
+    w: int,
+    win_h: int,
+    win_w: int,
+    c: int,
+    grid_hw: Tuple[int, int],
+    nb: int,
+):
+    """All displacement bands in ONE kernel: the band index is the innermost
+    grid dimension, so each output tile accumulates its band passes while the
+    block stays resident in VMEM. Band geometry (window offsets + membership
+    bounds) is scalar-prefetched, so every band — and every launch of this
+    kernel at a given shape — shares a single Mosaic compilation (the per-band
+    static specialization of ``_splat_kernel`` compiled 5 kernels).
+
+    Absent bands (no source in the band, precomputed presence flags in the
+    meta) skip their DMA and compute entirely; the DMA pipeline chains
+    LIVE steps only (each live step prefetches the next live step's window,
+    hopping over absent ones via the meta's NXT column)."""
+    gh, gw = grid_hw
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    wi = pl.program_id(2)
+    k = pl.program_id(3)
+    tile = (bi * gh + hi) * gw + wi
+    n_tiles = pl.num_programs(0) * gh * gw
+    g = tile * nb + k
+
+    present = meta_ref[k, _M_PRESENT]
+    n_live = meta_ref[0, _M_NLIVE]
+    live_idx = tile * n_live + meta_ref[k, _M_RANK]
+
+    def dmas(g_step, slot):
+        k_ = jax.lax.rem(g_step, nb)
+        tile_ = jax.lax.div(g_step, nb)
+        b_k = tile_ // (gh * gw)
+        r = tile_ - b_k * gh * gw
+        hi_ = r // gw
+        wi_ = r - hi_ * gw
+        by = jnp.clip(hi_ * TILE_H - meta_ref[k_, _M_OFFY], 0, h - win_h)
+        bx = jnp.clip(wi_ * TILE_W - meta_ref[k_, _M_OFFX], 0, w - win_w)
+        by = pl.multiple_of(by, TILE_H)  # offsets are multiples of the tile
+        bx = pl.multiple_of(bx, TILE_W)
+        return (
+            pltpu.make_async_copy(
+                vals_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
+                win_ref.at[slot],
+                sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                flow_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
+                fwin_ref.at[slot],
+                sem.at[slot, 1],
+            ),
+        )
+
+    @pl.when(present == 1)
+    def _():
+        @pl.when(live_idx == 0)
+        def _():
+            for d in dmas(g, 0):
+                d.start()
+
+        # prefetch the next LIVE step's window (absent bands never get one)
+        g_next = g + meta_ref[k, _M_NXT]
+        @pl.when(jax.lax.div(g_next, nb) < n_tiles)
+        def _():
+            for d in dmas(g_next, jax.lax.rem(live_idx + 1, 2)):
+                d.start()
+
+        slot = jax.lax.rem(live_idx, 2)
+        for d in dmas(g, slot):
+            d.wait()
+
+        by = jnp.clip(hi * TILE_H - meta_ref[k, _M_OFFY], 0, h - win_h)
+        bx = jnp.clip(wi * TILE_W - meta_ref[k, _M_OFFX], 0, w - win_w)
+        ty0 = hi * TILE_H  # tile origin in the output
+        tx0 = wi * TILE_W
+        lo_y = meta_ref[k, _M_LOY].astype(jnp.float32)
+        hi_y = meta_ref[k, _M_HIY].astype(jnp.float32)
+        lo_x = meta_ref[k, _M_LOX].astype(jnp.float32)
+        hi_x = meta_ref[k, _M_HIX].astype(jnp.float32)
+
+        n_groups = win_h // TILE_H
+        n_chunks = win_w // TILE_W
+
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+
+        accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
+        for grp in range(n_groups):
+            r0 = grp * TILE_H
+            for ci in range(n_chunks):
+                c0 = ci * TILE_W
+                fx = fwin_ref[slot, 0, r0 : r0 + TILE_H, c0 : c0 + TILE_W]
+                fy = fwin_ref[slot, 1, r0 : r0 + TILE_H, c0 : c0 + TILE_W]
+                # global source coords of this window block
+                sx = (bx + c0 + iota_l).astype(jnp.float32)
+                sy = (by + r0 + iota_s).astype(jnp.float32)
+                tx = sx + fx
+                ty = sy + fy
+                # non-finite flows must not contribute anywhere; band
+                # membership is half-open on the high side — the bands
+                # partition the displacement plane exactly, so the stacked
+                # passes never double-count a source
+                bad = ~(jnp.isfinite(tx) & jnp.isfinite(ty))
+                bad = bad | ~(
+                    (fy >= lo_y) & (fy < hi_y) & (fx >= lo_x) & (fx < hi_x)
+                )
+                tx = jnp.where(bad, -1e9, tx)
+                ty = jnp.where(bad, -1e9, ty)
+                y0 = jnp.floor(ty)
+                wy1 = ty - y0
+                ly = y0.astype(jnp.int32) - ty0
+                fy0v = (y0 >= 0) & (y0 <= h - 1)
+                fy1v = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+
+                txT = jnp.transpose(tx)  # [128, 8]
+                n_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (TILE_W, TILE_W), 1
+                )
+                vals = [
+                    win_ref[
+                        slot, ch, r0 : r0 + TILE_H, c0 : c0 + TILE_W
+                    ].astype(jnp.float32)
+                    for ch in range(c)
+                ]
+                for rr in range(TILE_H):
+                    tx_col = jax.lax.broadcast_in_dim(
+                        txT[:, rr : rr + 1], (TILE_W, TILE_W), (0, 1)
+                    )
+                    x0_col = jnp.floor(tx_col)
+                    wx1_col = tx_col - x0_col
+                    lx_col = x0_col.astype(jnp.int32) - tx0
+                    vx0_col = (x0_col >= 0) & (x0_col <= w - 1)
+                    vx1_col = (x0_col + 1 >= 0) & (x0_col + 1 <= w - 1)
+                    slab = jnp.where(
+                        (lx_col == n_iota) & vx0_col, 1.0 - wx1_col, 0.0
+                    ) + jnp.where(
+                        (lx_col + 1 == n_iota) & vx1_col, wx1_col, 0.0
+                    )
+
+                    ly_r = jax.lax.broadcast_in_dim(
+                        ly[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                    )
+                    wy1_r = jax.lax.broadcast_in_dim(
+                        wy1[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                    )
+                    vy0_r = jax.lax.broadcast_in_dim(
+                        fy0v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                    )
+                    vy1_r = jax.lax.broadcast_in_dim(
+                        fy1v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                    )
+                    ymask = jnp.where(
+                        (ly_r == iota_s) & vy0_r, 1.0 - wy1_r, 0.0
+                    ) + jnp.where((ly_r + 1 == iota_s) & vy1_r, wy1_r, 0.0)
+                    for ch in range(c):
+                        val_r = jax.lax.broadcast_in_dim(
+                            vals[ch][rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                        )
+                        accs[ch] = accs[ch] + jnp.dot(
+                            ymask * val_r, slab,
+                            preferred_element_type=jnp.float32,
+                        )
+
+        @pl.when(k == 0)
+        def _():
+            for ch in range(c):
+                out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
+
+        @pl.when(k > 0)
+        def _():
+            for ch in range(c):
+                out_ref[0, ch] = out_ref[0, ch] + accs[ch].astype(
+                    out_ref.dtype
+                )
+
+
+@functools.partial(jax.jit, static_argnames=("win_h", "win_w", "nb"))
+def softsplat_pallas_stacked(
+    vals: Array,  # [B, C, H, W]
+    flow: Array,  # [B, 2, H, W] float32
+    meta: Array,  # [nb, _M_COLS] int32
+    win_h: int,
+    win_w: int,
+    nb: int,
+) -> Array:
+    b, c, h, w = vals.shape
+    assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
+    assert meta.shape == (nb, _M_COLS), meta.shape
+    gh, gw = h // TILE_H, w // TILE_W
+    kernel = functools.partial(
+        _splat_kernel_stacked,
+        h=h, w=w, win_h=win_h, win_w=win_w, c=c, grid_hw=(gh, gw), nb=nb,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, gh, gw, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, TILE_H, TILE_W),
+            lambda bi, hi, wi, k, *_: (bi, 0, hi, wi),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, win_h, win_w), vals.dtype),
+            pltpu.VMEM((2, 2, win_h, win_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+    )(meta, vals, flow)
+
+
+def _stacked_meta(present) -> Array:
+    """Band meta rows for the stacked kernel from per-band presence scalars.
+
+    The base band row is forced present — it both covers the common case and
+    initializes the output block (the k==0 write). ``NXT`` is the global-step
+    distance to the next live band (presence is periodic in the band index,
+    so the same distances chain across tiles); ``RANK``/``NLIVE`` give each
+    live step its position in the live-only sequence for DMA slot parity."""
+    geoms = [BAND_BASE] + list(BANDS_EXTRA)
+    nb_all = len(present)
+    pres = jnp.stack(
+        [jnp.ones((), jnp.int32)]
+        + [present[i].astype(jnp.int32) for i in range(1, nb_all)]
+    )
+    rank = jnp.cumsum(pres) - pres
+    n_live = jnp.sum(pres)
+    nxt = jnp.zeros((nb_all,), jnp.int32)
+    found = jnp.zeros((nb_all,), bool)
+    idx = jnp.arange(nb_all)
+    for d in range(1, nb_all + 1):
+        p = pres[(idx + d) % nb_all] == 1
+        nxt = jnp.where(~found & p, d, nxt)
+        found = found | p
+    rows = []
+    for i in range(nb_all):
+        lo_y, hi_y, lo_x, hi_x = geoms[i]
+        _, _, oy, ox = _band_geometry(geoms[i])
+        rows.append(
+            jnp.stack([
+                jnp.full((), oy, jnp.int32),
+                jnp.full((), ox, jnp.int32),
+                jnp.full((), int(lo_y), jnp.int32),
+                jnp.full((), int(hi_y), jnp.int32),
+                jnp.full((), int(lo_x), jnp.int32),
+                jnp.full((), int(hi_x), jnp.int32),
+                pres[i],
+                nxt[i],
+                rank[i],
+                n_live,
+            ])
+        )
+    return jnp.stack(rows)
+
+
 def softsplat_pallas_banded(ten_in: Array, ten_flow: Array) -> Array:
     """NHWC forward splat, exact for displacements within the band union
     (fy in [-88, 80), fx in [-384, 384) around the base window). The caller
     handles the remainder (see ``ops.softsplat.softsplat_func``).
 
-    The base band always runs; each extra band runs under a ``lax.cond`` on
-    whether any source falls in it. All transposes stay OUTSIDE the conds
-    (a transpose spanning a cond boundary sends XLA layout assignment into
-    multi-GB channel-minor padding — see warp_kernel.py)."""
+    All usable bands run as ONE stacked kernel launch (band = innermost grid
+    dim): a single Mosaic compilation per shape instead of one per band, one
+    launch instead of up to five, with absent bands skipped in-kernel via the
+    prefetched presence flags."""
     n, h, w, c = ten_in.shape
     ph = -h % TILE_H
     pw = -w % TILE_W
     if ph or pw:
         ten_in = jnp.pad(ten_in, ((0, 0), (0, ph), (0, pw), (0, 0)))
         ten_flow = jnp.pad(ten_flow, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hp, wp = ten_in.shape[1:3]
     vals = ten_in.transpose(0, 3, 1, 2)
     flow = ten_flow.astype(jnp.float32).transpose(0, 3, 1, 2)
 
     present, _ = band_membership(ten_flow, h, w)
+    bands = [BAND_BASE] + list(usable_bands(h, w))
+    nb = len(bands)
+    # all bands share one window geometry by construction; assert it
+    wh, ww, _, _ = _band_geometry(BAND_BASE)
+    for bnd in bands[1:]:
+        assert _band_geometry(bnd)[:2] == (wh, ww), bnd
+    wh = min(wh, hp)
+    ww = min(ww, wp)
+    meta = _stacked_meta(present[:nb])
 
-    wh, ww, oy, ox = _band_geometry(BAND_BASE)
-    out = _planes_maybe_chunked(
-        vals, flow, win_h=wh, win_w=ww, off_y=oy, off_x=ox, band=BAND_BASE
-    )
-    for k, band in enumerate(usable_bands(h, w)):
-        wh, ww, oy, ox = _band_geometry(band)
-        out = jax.lax.cond(
-            present[k + 1],
-            lambda o, v, f, _band=band, _g=(wh, ww, oy, ox): o
-            + _planes_maybe_chunked(
-                v, f, win_h=_g[0], win_w=_g[1], off_y=_g[2], off_x=_g[3],
-                band=_band,
-            ),
-            lambda o, v, f: o,
-            out, vals, flow,
+    if jnp.dtype(vals.dtype).itemsize < 4 or c <= 2:
+        out = softsplat_pallas_stacked(vals, flow, meta, wh, ww, nb)
+    else:
+        # f32 inputs: the kernel's scoped-VMEM stack scales with C x itemsize
+        # (see _planes_maybe_chunked); channels splat independently
+        out = jnp.concatenate(
+            [
+                softsplat_pallas_stacked(
+                    vals[:, i : i + 2], flow, meta, wh, ww, nb
+                )
+                for i in range(0, c, 2)
+            ],
+            axis=1,
         )
     out = out.transpose(0, 2, 3, 1)[:, :h, :w, :]
     return out.astype(ten_in.dtype)

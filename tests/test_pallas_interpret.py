@@ -95,3 +95,71 @@ def test_softsplat_interpret_base_band(rng):
     with _interpret_patch(sk):
         out = np.asarray(sk.softsplat_pallas(vals, flow))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def _banded_ref(vals, flow, bands):
+    """Exact scatter restricted to the union of the given bands (what the
+    stacked banded kernel must produce; the remainder is the caller's job)."""
+    fx = flow[..., 0]
+    fy = flow[..., 1]
+    memb = jnp.zeros(fx.shape, bool)
+    for lo_y, hi_y, lo_x, hi_x in bands:
+        memb = memb | (
+            (fy >= lo_y) & (fy < hi_y) & (fx >= lo_x) & (fx < hi_x)
+        )
+    masked = jnp.where(memb[..., None], flow, jnp.inf)
+    return np.asarray(_softsplat_xla(vals, masked))
+
+
+@pytest.mark.slow
+def test_softsplat_interpret_stacked_bands(rng, monkeypatch):
+    """Stacked multi-band kernel logic: accumulation across live bands, the
+    in-kernel skip of absent bands, and the live-step DMA chain — with the
+    band table shrunk so interpret mode stays tractable."""
+    base = (-8.0, 8.0, -64.0, 64.0)
+    extra = (
+        (8.0, 24.0, -64.0, 64.0),     # fast down
+        (-24.0, -8.0, -64.0, 64.0),   # fast up (left ABSENT in the data)
+        (-8.0, 8.0, 64.0, 192.0),     # fast right
+        (-8.0, 8.0, -192.0, -64.0),   # fast left (ABSENT)
+    )
+    monkeypatch.setattr(sk, "BAND_BASE", base)
+    monkeypatch.setattr(sk, "BANDS_EXTRA", extra)
+
+    h, w = 32, 256  # windows: (16+8, 128+128) = (24, 256) — fits
+    vals = jnp.asarray(rng.random((1, h, w, 2), np.float32))
+    f = np.zeros((1, h, w, 2), np.float32)
+    f[:, :8] = [3.0, -2.5]        # base band
+    f[:, 8:16] = [10.0, 12.0]     # fast down band
+    f[:, 16:24] = [100.0, 3.0]    # fast right band
+    f[:, 24:, :] = [500.0, 500.0]  # beyond every band -> dropped by kernel
+    flow = jnp.asarray(f)
+
+    ref = _banded_ref(vals, flow, [base] + list(extra))
+    with _interpret_patch(sk):
+        out = np.asarray(sk.softsplat_pallas_banded(vals, flow))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_softsplat_interpret_stacked_base_only(rng, monkeypatch):
+    """All sources in the base band: the four absent extra bands must be
+    skipped without touching the accumulated output."""
+    base = (-8.0, 8.0, -64.0, 64.0)
+    extra = (
+        (8.0, 24.0, -64.0, 64.0),
+        (-24.0, -8.0, -64.0, 64.0),
+        (-8.0, 8.0, 64.0, 192.0),
+        (-8.0, 8.0, -192.0, -64.0),
+    )
+    monkeypatch.setattr(sk, "BAND_BASE", base)
+    monkeypatch.setattr(sk, "BANDS_EXTRA", extra)
+
+    h, w = 32, 256
+    vals = jnp.asarray(rng.random((1, h, w, 2), np.float32))
+    flow = jnp.asarray(rng.random((1, h, w, 2), np.float32) * 8 - 4)
+
+    ref = _banded_ref(vals, flow, [base])
+    with _interpret_patch(sk):
+        out = np.asarray(sk.softsplat_pallas_banded(vals, flow))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
