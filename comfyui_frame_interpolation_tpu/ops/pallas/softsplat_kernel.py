@@ -378,6 +378,7 @@ def _splat_kernel_stacked(
     c: int,
     grid_hw: Tuple[int, int],
     nb: int,
+    fold: int = 1,
 ):
     """All displacement bands in ONE kernel: the band index is the innermost
     grid dimension, so each output tile accumulates its band passes while the
@@ -389,7 +390,12 @@ def _splat_kernel_stacked(
     Absent bands (no source in the band, precomputed presence flags in the
     meta) skip their DMA and compute entirely; the DMA pipeline chains
     LIVE steps only (each live step prefetches the next live step's window,
-    hopping over absent ones via the meta's NXT column)."""
+    hopping over absent ones via the meta's NXT column).
+
+    ``fold``: wide-channel inputs arrive with channel chunks folded into the
+    batch axis (``vals_ref`` batch = true batch x fold); the flow array is NOT
+    repeated — flow windows are DMA'd from ``flow_ref`` at the true batch
+    index ``b_k // fold``."""
     gh, gw = grid_hw
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -421,7 +427,9 @@ def _splat_kernel_stacked(
                 sem.at[slot, 0],
             ),
             pltpu.make_async_copy(
-                flow_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
+                flow_ref.at[
+                    b_k // fold, :, pl.ds(by, win_h), pl.ds(bx, win_w)
+                ],
                 fwin_ref.at[slot],
                 sem.at[slot, 1],
             ),
@@ -550,22 +558,27 @@ def _splat_kernel_stacked(
                 )
 
 
-@functools.partial(jax.jit, static_argnames=("win_h", "win_w", "nb"))
+@functools.partial(
+    jax.jit, static_argnames=("win_h", "win_w", "nb", "fold")
+)
 def softsplat_pallas_stacked(
-    vals: Array,  # [B, C, H, W]
+    vals: Array,  # [B*fold, C, H, W]
     flow: Array,  # [B, 2, H, W] float32
     meta: Array,  # [nb, _M_COLS] int32
     win_h: int,
     win_w: int,
     nb: int,
+    fold: int = 1,
 ) -> Array:
     b, c, h, w = vals.shape
     assert h % TILE_H == 0 and w % TILE_W == 0, (h, w)
     assert meta.shape == (nb, _M_COLS), meta.shape
+    assert b % fold == 0 and flow.shape[0] * fold == b, (b, fold, flow.shape)
     gh, gw = h // TILE_H, w // TILE_W
     kernel = functools.partial(
         _splat_kernel_stacked,
         h=h, w=w, win_h=win_h, win_w=win_w, c=c, grid_hw=(gh, gw), nb=nb,
+        fold=fold,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -666,19 +679,22 @@ def softsplat_pallas_banded(ten_in: Array, ten_flow: Array) -> Array:
     ww = min(ww, wp)
     meta = _stacked_meta(present[:nb])
 
-    if jnp.dtype(vals.dtype).itemsize < 4 or c <= 2:
+    # the kernel's scoped-VMEM stack (and Mosaic compile time) scales with
+    # C x itemsize; wide channels FOLD equal zero-padded chunks into the
+    # batch axis — one launch, flow windows DMA'd once per true batch index
+    # (channels splat independently under the same flow, so this is exact)
+    cap = 16 if jnp.dtype(vals.dtype).itemsize < 4 else 2
+    if c <= cap:
         out = softsplat_pallas_stacked(vals, flow, meta, wh, ww, nb)
     else:
-        # f32 inputs: the kernel's scoped-VMEM stack scales with C x itemsize
-        # (see _planes_maybe_chunked); channels splat independently
-        out = jnp.concatenate(
-            [
-                softsplat_pallas_stacked(
-                    vals[:, i : i + 2], flow, meta, wh, ww, nb
-                )
-                for i in range(0, c, 2)
-            ],
-            axis=1,
+        n_ch = -(-c // cap)
+        c_pad = n_ch * cap
+        if c_pad != c:
+            vals = jnp.pad(vals, ((0, 0), (0, c_pad - c), (0, 0), (0, 0)))
+        vals_f = vals.reshape(n * n_ch, cap, hp, wp)
+        out = softsplat_pallas_stacked(
+            vals_f, flow, meta, wh, ww, nb, fold=n_ch
         )
+        out = out.reshape(n, c_pad, hp, wp)[:, :c]
     out = out.transpose(0, 2, 3, 1)[:, :h, :w, :]
     return out.astype(ten_in.dtype)

@@ -56,8 +56,11 @@ def softsplat_func(ten_in: Array, ten_flow: Array) -> Array:
         and _backend() == "pallas"
         and h * w >= 128 * 128
         and w >= 128
-        and c <= 16
     ):
+        # no channel cap: wide-channel splats (GMFSS 65-193ch, EISAI 66ch
+        # feature pyramids) fold channel chunks into the kernel's batch axis
+        # — the XLA scatter they previously fell back to is orders of
+        # magnitude off the kernel's throughput at these sizes
         from .pallas.softsplat_kernel import (
             band_membership, softsplat_pallas_banded,
         )

@@ -163,3 +163,25 @@ def test_softsplat_interpret_stacked_base_only(rng, monkeypatch):
     with _interpret_patch(sk):
         out = np.asarray(sk.softsplat_pallas_banded(vals, flow))
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_softsplat_interpret_folded_wide_channels(rng, monkeypatch):
+    """Wide-channel fold: channel chunks ride the batch axis with flow
+    windows DMA'd at the true batch index (fold > 1), batch > 1 so the
+    fold/batch index arithmetic is exercised."""
+    base = (-8.0, 8.0, -64.0, 64.0)
+    extra = ((8.0, 24.0, -64.0, 64.0),)
+    monkeypatch.setattr(sk, "BAND_BASE", base)
+    monkeypatch.setattr(sk, "BANDS_EXTRA", extra)
+
+    h, w, c = 32, 256, 5  # bf16 cap 16 -> force fold via f32 (cap 2): 3 folds
+    vals = jnp.asarray(rng.random((2, h, w, c), np.float32))
+    f = rng.random((2, h, w, 2), np.float32) * 8 - 4
+    f[:, :8] = [2.0, 10.0]  # some fast-down sources -> band 1 live
+    flow = jnp.asarray(f)
+
+    ref = _banded_ref(vals, flow, [base] + list(extra))
+    with _interpret_patch(sk):
+        out = np.asarray(sk.softsplat_pallas_banded(vals, flow))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
