@@ -51,16 +51,15 @@ def softsplat_func(ten_in: Array, ten_flow: Array) -> Array:
 
     n, h, w, c = ten_in.shape
     mode = os.environ.get("CFI_TPU_SPLAT", "auto")  # auto | pallas | xla
-    if (
-        mode != "xla"
-        and _backend() == "pallas"
-        and h * w >= 128 * 128
-        and w >= 128
-    ):
-        # no channel cap: wide-channel splats (GMFSS 65-193ch, EISAI 66ch
+    if mode != "xla" and _backend() == "pallas" and h * w >= 32 * 128:
+        # No channel cap: wide-channel splats (GMFSS 65-193ch, EISAI 66-514ch
         # feature pyramids) fold channel chunks into the kernel's batch axis
         # — the XLA scatter they previously fell back to is orders of
-        # magnitude off the kernel's throughput at these sizes
+        # magnitude off the kernel's throughput at these sizes. No minimum
+        # width either: the kernel pads to the 128 tile and clamps its window
+        # (narrow frames get a base-band-only pass; wider displacements land
+        # in the exact residual below). Only genuinely tiny frames keep the
+        # scatter, where it is cheap and a Mosaic compile isn't worth it.
         from .pallas.softsplat_kernel import (
             band_membership, softsplat_pallas_banded,
         )

@@ -185,3 +185,19 @@ def test_softsplat_interpret_folded_wide_channels(rng, monkeypatch):
     with _interpret_patch(sk):
         out = np.asarray(sk.softsplat_pallas_banded(vals, flow))
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_softsplat_interpret_narrow_frame_clamped_window(rng):
+    """Frames narrower than the 128 tile: the kernel pads, clamps the window
+    to the whole frame (total coverage), and drops out-of-band sources for
+    the caller's residual — with the REAL band table (no extra band fits)."""
+    h, w, c = 24, 100, 3
+    vals = jnp.asarray(rng.random((1, h, w, c), np.float32))
+    f = rng.random((1, h, w, 2), np.float32) * 6 - 3
+    f[:, :4] = [200.0, 0.0]  # beyond the base band -> dropped by the kernel
+    flow = jnp.asarray(f)
+    ref = _banded_ref(vals, flow, [sk.BAND_BASE])
+    with _interpret_patch(sk):
+        out = np.asarray(sk.softsplat_pallas_banded(vals, flow))
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
