@@ -21,6 +21,7 @@ available when ``/root/reference`` is mounted. ``--metric all`` runs everything.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -734,11 +735,97 @@ def matrix_mode():
                       "rows": len(rows)}))
 
 
+# (batch, h, w, c) of every distinct warp call in the two headline configs
+# (census via eval_shape probes: RIFE 4.7 batch-8 = 16-batch bidirectional at
+# full res; FILM batch-4 = 8-batch bidirectional across the fusion+flow
+# pyramid). The A/B below drives kernel-dispatch policy for these shapes.
+_WARP_SHAPES = [
+    ("rife_c3", (16, 1088, 1920, 3)),
+    ("rife_c7", (16, 1088, 1920, 7)),
+    ("film_l0_feat", (8, 1080, 1920, 64)),
+    ("film_l0_fuse", (8, 1080, 1920, 67)),
+    ("film_l1", (8, 540, 960, 195)),
+    ("film_l2", (8, 270, 480, 451)),
+    ("film_l3", (8, 135, 240, 963)),
+    ("film_l4", (8, 67, 120, 963)),
+]
+
+
+def warpshapes_mode(iters=6):
+    """A/B the warp implementations (XLA gather, diagonal Pallas kernel,
+    MXU rows-layout Pallas kernel) on the real RIFE/FILM call shapes.
+
+    Prints one JSON line per shape with per-variant milliseconds and the
+    winner — the data that decides the ``CFI_WARP_MXU`` default and whether
+    wide-channel warps should route to the Pallas kernel at all."""
+    import time
+
+    from comfyui_frame_interpolation_tpu.ops.warp import warp_xla
+    from comfyui_frame_interpolation_tpu.ops.pallas.warp_kernel import (
+        warp_pallas_tiered,
+    )
+    from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+
+    def smooth_flow(b, h, w, amp=12.0, scale=150.0):
+        gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        f = np.stack(
+            [
+                amp * np.sin(gx / scale) + 0.5 * amp * np.cos(gy / scale),
+                -amp * np.cos(gx / scale) + 0.4 * amp * np.sin(gy / scale),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        return jnp.asarray(np.broadcast_to(f, (b, h, w, 2)))
+
+    for tag, (b, h, w, c) in _WARP_SHAPES:
+        img = _rand_frames(b, h, w, 0)[..., :1] * jnp.ones((c,), jnp.bfloat16)
+        img = img.astype(jnp.bfloat16)
+        flow = smooth_flow(b, h, w).astype(jnp.bfloat16)
+        row = {"metric": f"warpshape_{tag}", "shape": f"{b}x{h}x{w}x{c}"}
+        variants = {}
+        prev = os.environ.get("CFI_WARP_MXU")
+        try:
+            for name in ("xla", "diag", "rows"):
+                if name == "xla":
+                    fn = jax.jit(lambda i, f: warp_xla(i, f, "border"))
+                else:
+                    os.environ["CFI_WARP_MXU"] = (
+                        "0" if name == "diag" else "force"
+                    )
+                    # distinct wrapper per env so jit caches don't collide
+                    fn = jax.jit(
+                        functools.partial(
+                            lambda i, f, _v: warp_pallas_tiered(i, f), _v=name
+                        )
+                    )
+                try:
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(fn(img, flow))
+                    compile_s = time.perf_counter() - t0
+                    n = 2 if name == "xla" else iters
+                    sec = measure(fn, img, flow, iters=n)
+                    variants[name] = round(sec * 1e3, 2)
+                    row[f"{name}_compile_s"] = round(compile_s, 1)
+                except Exception as exc:
+                    variants[name] = None
+                    row[f"{name}_error"] = repr(exc)[:160]
+        finally:
+            if prev is None:
+                os.environ.pop("CFI_WARP_MXU", None)
+            else:
+                os.environ["CFI_WARP_MXU"] = prev
+        row.update({f"{k}_ms": v for k, v in variants.items()})
+        ok = {k: v for k, v in variants.items() if v is not None}
+        if ok:
+            row["winner"] = min(ok, key=ok.get)
+        print(json.dumps(row), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--metric", default="rife",
-        choices=["rife", "psnr", "psnr_torch", "all", "matrix"]
+        choices=["rife", "psnr", "psnr_torch", "all", "matrix", "warpshapes"]
         + sorted(_RES),
     )
     args = ap.parse_args()
@@ -750,6 +837,9 @@ def main():
         return
     if args.metric == "matrix":
         matrix_mode()
+        return
+    if args.metric == "warpshapes":
+        warpshapes_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]
