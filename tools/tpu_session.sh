@@ -1,0 +1,21 @@
+#!/bin/bash
+# Turnkey TPU measurement battery for when the axon tunnel is up.
+# Runs the round-3 measurement queue in priority order, tee-ing every JSON
+# line to tools/tpu_session.log so partial progress survives a tunnel drop.
+# Usage: bash tools/tpu_session.sh [stage...]   (default: all stages)
+set -u
+cd "$(dirname "$0")/.."
+LOG=tools/tpu_session.log
+stages=${*:-warpshapes rife film matrix psnr}
+for s in $stages; do
+  echo "=== stage $s $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
+  case $s in
+    warpshapes) timeout 2400 python bench.py --metric warpshapes 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
+    rife)       timeout 1200 python bench.py 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
+    film)       timeout 2400 python bench.py --metric film 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
+    matrix)     timeout 7200 python bench.py --metric matrix 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
+    psnr)       timeout 3600 python bench.py --metric psnr_torch 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
+    *) echo "unknown stage $s" | tee -a "$LOG" ;;
+  esac
+done
+echo "=== battery done $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
