@@ -275,6 +275,29 @@ class TestSoftsplatPallas:
             if prev is not None:
                 os.environ["CFI_TPU_SPLAT"] = prev
 
+    def test_narrow_frame_gate_exact(self, rng):
+        # frames narrower than one 128 tile (EISAI's 540p feature pyramid:
+        # 64x114) now route through the kernel (gate relaxed to h*w >= 32*128)
+        # — the kernel pads, clamps its window to the whole frame, and the
+        # masked residual owns anything beyond it; total must stay exact
+        from comfyui_frame_interpolation_tpu.ops.softsplat import softsplat_func
+
+        prev = os.environ.pop("CFI_TPU_SPLAT", None)
+        try:
+            for h, w, c in ((64, 114, 66), (34, 128, 8)):
+                vals = jnp.asarray(rng.random((1, h, w, c)), jnp.float32)
+                f = np.asarray(
+                    (rng.random((1, h, w, 2)) - 0.5) * 8.0, np.float32
+                )
+                f[:, :4] = [w + 50.0, 0.0]  # beyond the clamped window
+                flow = jnp.asarray(f)
+                out = np.asarray(softsplat_func(vals, flow))
+                ref = self._ref(vals, flow)
+                np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-2)
+        finally:
+            if prev is not None:
+                os.environ["CFI_TPU_SPLAT"] = prev
+
     def test_residual_beyond_bands(self, rng):
         # extreme diagonal motion: outside every band -> masked XLA residual
         # must make the total exact
