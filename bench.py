@@ -667,15 +667,29 @@ _RES = {
 }
 
 
+def _cache_dir_entries():
+    """Entry count of the persistent compile cache (None if cache disabled) —
+    per-family deltas in matrix_mode tell whether cold compiles are actually
+    being persisted (the round-2 M2M 10-min compile mystery)."""
+    d = jax.config.jax_compilation_cache_dir
+    if not d or not os.path.isdir(d):
+        return None, d
+    return len(os.listdir(d)), d
+
+
 def matrix_mode():
     """Run every family config, print the JSON lines, AND write the results
     table to BENCH_MATRIX.md (the committed full-matrix artifact)."""
     import datetime
     import subprocess
 
+    n_cache, cache_dir = _cache_dir_entries()
+    print(json.dumps({"metric": "compile_cache_status", "dir": cache_dir,
+                      "entries": n_cache}), flush=True)
     rows = []
     for name in ["rife"] + sorted(_RES):
         _LAST_COMPILE_S["value"] = None
+        pre_entries, _ = _cache_dir_entries()
         try:
             fps = bench_rife() if name == "rife" else globals()[f"bench_{name}"]()
         except Exception as exc:
@@ -683,6 +697,10 @@ def matrix_mode():
                               "error": repr(exc)[:300]}))
             rows.append((name, None, None, repr(exc)[:120], None))
             continue
+        post_entries, _ = _cache_dir_entries()
+        if pre_entries is not None and post_entries != pre_entries:
+            print(json.dumps({"metric": f"{name}_cache_entries_written",
+                              "value": post_entries - pre_entries}), flush=True)
         base, est = (
             (BASELINE_FPS, False) if name == "rife"
             else (SECONDARY_BASELINES[name], True)
@@ -822,6 +840,15 @@ def warpshapes_mode(iters=6):
 
 
 def main():
+    if os.environ.get("CFI_COMPILE_DIAG", "") == "1":
+        # compile-time forensics for the TPU battery: per-computation compile
+        # logs (with durations) and cache-miss explanations go to stderr, so a
+        # slow family (round-2: m2m >10 min cold) shows WHERE the time went
+        jax.config.update("jax_log_compiles", True)
+        try:
+            jax.config.update("jax_explain_cache_misses", True)
+        except Exception:
+            pass
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--metric", default="rife",

@@ -13,7 +13,9 @@ for s in $stages; do
     warpshapes) timeout 2400 python bench.py --metric warpshapes 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     rife)       timeout 1200 python bench.py 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     film)       timeout 2400 python bench.py --metric film 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
-    matrix)     timeout 7200 python bench.py --metric matrix 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
+    # keep WARNING lines here: CFI_COMPILE_DIAG's per-computation compile logs
+    # (the m2m compile forensics) are emitted at WARNING level
+    matrix)     timeout 7200 env CFI_COMPILE_DIAG=1 python bench.py --metric matrix 2>&1 | tee -a "$LOG" ;;
     psnr)       timeout 3600 python bench.py --metric psnr_torch 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     *) echo "unknown stage $s" | tee -a "$LOG" ;;
   esac
