@@ -317,6 +317,37 @@ def resize_bilinear(
     return x
 
 
+def conv2x2_up2x(x: Array, node: Params) -> Array:
+    """Fused ``resize_nearest(2x)`` + torch ``Conv2d(k=2, padding='same')``.
+
+    With ``U`` = nearest-2x of ``x``, output pixel ``(2i+a, 2j+b)`` only reads
+    ``x[i..i+a, j..j+b]``, so the op decomposes exactly into four phase convs
+    (1x1 / 1x2 / 2x1 / 2x2 taps = 9 MACs per 4 output pixels instead of 16)
+    whose outputs interleave into the full-res result — the 2x-upsampled
+    tensor is never materialized. Same math as the unfused pair bit-for-bit up
+    to fp summation order; torch 'same' padding for even kernels (extra
+    zero-pad on the right/bottom of U) maps to a right/bottom zero pad of
+    ``x`` for the phases that read ``i+1``/``j+1``. Used by FILM's fusion
+    decoder (``film_arch.py:258-292``), whose every upsample is an exact 2x.
+    """
+    w = node["weight"]  # (O, I, 2, 2), torch layout
+    phases = [
+        (w.sum((2, 3), keepdims=True), ((0, 0), (0, 0))),  # even row, even col
+        (w.sum(2, keepdims=True), ((0, 0), (0, 1))),       # even row, odd col
+        (w.sum(3, keepdims=True), ((0, 1), (0, 0))),       # odd row, even col
+        (w, ((0, 1), (0, 1))),                             # odd row, odd col
+    ]
+    outs = [
+        conv2d(x, {"weight": pw}, stride=1, padding=pad) for pw, pad in phases
+    ]
+    b, h, wd, c = outs[0].shape
+    out = jnp.stack(outs, axis=3).reshape(b, h, wd, 2, 2, c)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * wd, c)
+    if "bias" in node and node["bias"] is not None:
+        out = out + node["bias"].astype(out.dtype)
+    return out
+
+
 def resize_nearest(x: Array, out_hw: Tuple[int, int]) -> Array:
     """torch ``F.interpolate(mode="nearest")`` (floor of src = dst * in/out)."""
     n, h, w, c = x.shape

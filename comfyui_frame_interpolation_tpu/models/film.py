@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.warp import warp
-from .common import cast_params, avg_pool2d, conv2d, leaky_relu, resize_bilinear, resize_nearest
+from .common import (
+    cast_params, avg_pool2d, conv2d, conv2x2_up2x, leaky_relu,
+    resize_bilinear, resize_nearest,
+)
 
 Array = jnp.ndarray
 Params = Dict
@@ -145,8 +148,15 @@ def _fuse(p: Params, pyramid: List[Array]) -> Array:
     for k in range(n):
         i = n - 1 - k
         layers = p["convs"][str(k)]
-        net = resize_nearest(net, pyramid[i].shape[1:3])
-        net = _conv(layers["0"], net, 2, activation=False)
+        th, tw = pyramid[i].shape[1:3]
+        if (th, tw) == (2 * net.shape[1], 2 * net.shape[2]):
+            # exact-2x upsample (always, for 64-multiple-padded inputs):
+            # phase-decomposed fused form — 9/16 the MACs, no materialized
+            # upsampled tensor (models/common.py:conv2x2_up2x)
+            net = conv2x2_up2x(net, layers["0"])
+        else:
+            net = resize_nearest(net, (th, tw))
+            net = _conv(layers["0"], net, 2, activation=False)
         net = jnp.concatenate([pyramid[i], net], axis=-1)
         net = _conv(layers["1"], net, 3)
         net = _conv(layers["2"], net, 3)
@@ -159,8 +169,11 @@ def apply(params: Params, x0: Array, x1: Array, timestep=0.5) -> Array:
     ``timestep`` is accepted for executor-signature uniformity but — exactly as
     in the reference (film_arch.py:427: ``mid_time = 0.5``) — the model always
     synthesizes the midpoint; fractional times come from bisection scheduling.
-    Inputs must be pre-padded to a multiple of 64 (the node pads the batch,
-    ``film_arch.py:638-646``); output has the input's shape.
+    Arbitrary input sizes are handled like the reference node path (which feeds
+    native-resolution frames, ``film/__init__.py:92-95``; ``pad_batch`` at
+    ``film_arch.py:638-646`` is only used by its standalone image loader):
+    every upsample resizes to the recorded finer-level shape. Output has the
+    input's shape.
     """
     del timestep
     n = x0.shape[0]

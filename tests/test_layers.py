@@ -127,3 +127,27 @@ def test_resize_bicubic(out_hw, antialias):
     )
     out = L.resize_bicubic(t2j_nchw(x), out_hw, antialias=antialias)
     np.testing.assert_allclose(j2n(out), ref.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_conv2x2_up2x_matches_unfused():
+    """Fused nearest-2x + 2x2 'same' conv (FILM fusion decoder fast path) vs
+    the literal resize_nearest + conv2d composition it replaces — and vs torch
+    F.interpolate + Conv2d(padding='same')."""
+    x = torch.randn(2, 6, 9, 13)
+    w = torch.randn(5, 6, 2, 2)
+    b = torch.randn(5)
+    node = {"weight": jnp.asarray(w.numpy()), "bias": jnp.asarray(b.numpy())}
+    xj = t2j_nchw(x)
+
+    fused = L.conv2x2_up2x(xj, node)
+
+    up = L.resize_nearest(xj, (18, 26))
+    unfused = L.conv2d(up, node, stride=1, padding="same_torch")
+    np.testing.assert_allclose(j2n(fused), j2n(unfused), rtol=1e-5, atol=1e-5)
+
+    conv = torch.nn.Conv2d(6, 5, 2, padding="same")
+    with torch.no_grad():
+        conv.weight.copy_(w)
+        conv.bias.copy_(b)
+        ref = conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+    np.testing.assert_allclose(j2n(fused), ref.numpy(), rtol=1e-4, atol=1e-5)
