@@ -769,6 +769,26 @@ _WARP_SHAPES = [
 ]
 
 
+def batchsweep_mode():
+    """Sweep batch_size for the two headline configs (RIFE, FILM) to find the
+    throughput-optimal default — batching is the executor's main lever and the
+    right value is an empirical HBM/occupancy tradeoff per model."""
+    for name, fn, batches in (
+        ("rife", bench_rife, (8, 16, 32)),
+        ("film", bench_film, (2, 4, 8)),
+    ):
+        for b in batches:
+            try:
+                fps = fn(batch=b)
+            except Exception as exc:
+                print(json.dumps({"metric": f"{name}_b{b}_error",
+                                  "error": repr(exc)[:200]}), flush=True)
+                continue
+            print(json.dumps({"metric": f"{name}_1080p_2x_batch{b}",
+                              "value": round(fps, 2),
+                              "unit": "frames/sec"}), flush=True)
+
+
 def warpshapes_mode(iters=6):
     """A/B the warp implementations (XLA gather, diagonal Pallas kernel,
     MXU rows-layout Pallas kernel) on the real RIFE/FILM call shapes.
@@ -852,7 +872,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--metric", default="rife",
-        choices=["rife", "psnr", "psnr_torch", "all", "matrix", "warpshapes"]
+        choices=["rife", "psnr", "psnr_torch", "all", "matrix", "warpshapes",
+                 "batchsweep"]
         + sorted(_RES),
     )
     args = ap.parse_args()
@@ -867,6 +888,9 @@ def main():
         return
     if args.metric == "warpshapes":
         warpshapes_mode()
+        return
+    if args.metric == "batchsweep":
+        batchsweep_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]
