@@ -859,6 +859,90 @@ def warpshapes_mode(iters=6):
         print(json.dumps(row), flush=True)
 
 
+def filmstages_mode(batch=4, height=1080, width=1920, iters=5):
+    """Per-stage on-chip timing of FILM's forward (pyramid / features / flow /
+    warp / fuse), plus the composed total — the forensics that localizes the
+    film_1080p_2x deficit (2.4 f/s vs the 8 f/s baseline estimate) without
+    needing trace tooling. Stage list mirrors ``models/film.py:apply``; each
+    stage is jitted standalone over realistic intermediates, so the sum can
+    exceed the fused total (XLA fuses across stage boundaries in the real
+    forward) — the interesting signal is each stage's share."""
+    import time
+
+    from comfyui_frame_interpolation_tpu.models import film
+    from comfyui_frame_interpolation_tpu.models.common import cast_params
+    from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+
+    def build():
+        return _load_ref(
+            "vfi_models/film/film_arch.py", "bench_film_arch"
+        ).Interpolator()
+
+    dtype = jnp.bfloat16
+    params = cast_params(_reference_params(build), dtype)
+    n = batch
+    x0 = _rand_frames(batch, height, width, 0).astype(dtype)
+    x1 = _rand_frames(batch, height, width, 1).astype(dtype)
+
+    def scalarize(fn):
+        # measure() fences via float(jnp.sum(out)): reduce pytree outputs to
+        # one scalar inside the jit (keeps all compute live, scalar D2H)
+        def g(*a):
+            leaves = jax.tree_util.tree_leaves(fn(*a))
+            return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+        return jax.jit(g)
+
+    stage_pyramid = jax.jit(film.stage_pyramid)
+    stage_features = jax.jit(lambda pyr: film.stage_features(params, pyr))
+    stage_flow = jax.jit(lambda feat: film.stage_flow(params, feat, n))
+    stage_warp = jax.jit(
+        lambda pyr, feat, ff, bf: film.stage_warp(pyr, feat, ff, bf, n)
+    )
+    stage_fuse = jax.jit(lambda al: film.stage_fuse(params, al))
+    total = jax.jit(lambda a, b: film.apply(params, a, b))
+
+    # realistic intermediates, computed once (device-resident pytrees)
+    pyr = jax.block_until_ready(stage_pyramid(x0, x1))
+    feat = jax.block_until_ready(stage_features(pyr))
+    flows = jax.block_until_ready(stage_flow(feat))
+    aligned = jax.block_until_ready(stage_warp(pyr, feat, *flows))
+    jax.block_until_ready(stage_fuse(aligned))
+    jax.block_until_ready(total(x0, x1))
+
+    stages = [
+        ("pyramid", scalarize(film.stage_pyramid), (x0, x1)),
+        ("features",
+         scalarize(lambda p: film.stage_features(params, p)), (pyr,)),
+        ("flow", scalarize(lambda f: film.stage_flow(params, f, n)), (feat,)),
+        ("warp",
+         scalarize(lambda p, f, ff, bf: film.stage_warp(p, f, ff, bf, n)),
+         (pyr, feat) + tuple(flows)),
+        ("fuse", scalarize(lambda al: film.stage_fuse(params, al)), (aligned,)),
+        ("total", total, (x0, x1)),
+    ]
+    results = {}
+    for name, fn, args_ in stages:
+        try:
+            sec = measure(fn, *args_, iters=iters)
+            results[name] = round(sec * 1e3 / batch, 2)  # ms per frame
+        except Exception as exc:
+            results[name] = None
+            print(json.dumps({"metric": f"filmstage_{name}_error",
+                              "error": repr(exc)[:200]}), flush=True)
+    row = {
+        "metric": "film_stage_ms_per_frame", "batch": batch,
+        "shape": f"{height}x{width}",
+        **{k: v for k, v in results.items()},
+    }
+    tot = results.get("total")
+    if tot:
+        row["fps"] = round(batch and 1e3 / tot, 2)
+        parts = {k: v for k, v in results.items()
+                 if k != "total" and v is not None}
+        row["stage_sum_ms"] = round(sum(parts.values()), 2)
+    print(json.dumps(row), flush=True)
+
+
 def main():
     if os.environ.get("CFI_COMPILE_DIAG", "") == "1":
         # compile-time forensics for the TPU battery: per-computation compile
@@ -873,7 +957,7 @@ def main():
     ap.add_argument(
         "--metric", default="rife",
         choices=["rife", "psnr", "psnr_torch", "all", "matrix", "warpshapes",
-                 "batchsweep"]
+                 "batchsweep", "filmstages"]
         + sorted(_RES),
     )
     args = ap.parse_args()
@@ -891,6 +975,9 @@ def main():
         return
     if args.metric == "batchsweep":
         batchsweep_mode()
+        return
+    if args.metric == "filmstages":
+        filmstages_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]

@@ -22,7 +22,7 @@ the reference port convert mechanically.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -163,34 +163,31 @@ def _fuse(p: Params, pyramid: List[Array]) -> Array:
     return conv2d(net, p["output_conv"], stride=1, padding=0)
 
 
-def apply(params: Params, x0: Array, x1: Array, timestep=0.5) -> Array:
-    """``Interpolator.forward`` (film_arch.py:401-459), NHWC.
+def stage_pyramid(x0: Array, x1: Array) -> List[Array]:
+    """Image pyramid over both endpoints as one batch (film_arch.py:404-409).
 
-    ``timestep`` is accepted for executor-signature uniformity but — exactly as
-    in the reference (film_arch.py:427: ``mid_time = 0.5``) — the model always
-    synthesizes the midpoint; fractional times come from bisection scheduling.
-    Arbitrary input sizes are handled like the reference node path (which feeds
-    native-resolution frames, ``film/__init__.py:92-95``; ``pad_batch`` at
-    ``film_arch.py:638-646`` is only used by its standalone image loader):
-    every upsample resizes to the recorded finer-level shape. Output has the
-    input's shape.
-    """
-    del timestep
-    n = x0.shape[0]
-    # both images ride one batch through the pyramid + feature extractor, and
-    # both flow directions ride one batch through the (weight-shared) pyramid
-    # flow estimator — 2x conv batch (better MXU occupancy at FILM's odd
-    # channel widths) and half the warp/conv dispatches
+    Both images ride one batch through the pyramid + feature extractor, and
+    both flow directions ride one batch through the (weight-shared) pyramid
+    flow estimator — 2x conv batch (better MXU occupancy at FILM's odd
+    channel widths) and half the warp/conv dispatches."""
     pyr_both = [jnp.concatenate([x0, x1], axis=0)]
     for _ in range(PYRAMID_LEVELS - 1):
         pyr_both.append(avg_pool2d(pyr_both[-1], 2, 2))
-    pyr0 = [p[:n] for p in pyr_both]
-    pyr1 = [p[n:] for p in pyr_both]
+    return pyr_both
 
-    feat_both = _extract_features(params["extract"], pyr_both)
+
+def stage_features(params: Params, pyr_both: List[Array]) -> List[Array]:
+    """Cascaded feature pyramid over the batched image pyramid."""
+    return _extract_features(params["extract"], pyr_both)
+
+
+def stage_flow(
+    params: Params, feat_both: List[Array], n: int
+) -> Tuple[List[Array], List[Array]]:
+    """Bidirectional flow pyramids, scaled to the (fixed) mid time
+    (film_arch.py:418-429). Both directions ride one batch."""
     feat0 = [f[:n] for f in feat_both]
     feat1 = [f[n:] for f in feat_both]
-
     pa = [jnp.concatenate([f0_, f1_], axis=0) for f0_, f1_ in zip(feat0, feat1)]
     pb = [jnp.concatenate([f1_, f0_], axis=0) for f0_, f1_ in zip(feat0, feat1)]
     res_both = _predict_flow(params["predict_flow"], pa, pb)
@@ -203,13 +200,24 @@ def apply(params: Params, x0: Array, x1: Array, timestep=0.5) -> Array:
     mid = 0.5
     bwd_flow = [f * mid for f in bwd_flow]
     fwd_flow = [f * (1.0 - mid) for f in fwd_flow]
+    return fwd_flow, bwd_flow
 
+
+def stage_warp(
+    pyr_both: List[Array],
+    feat_both: List[Array],
+    fwd_flow: List[Array],
+    bwd_flow: List[Array],
+    n: int,
+) -> List[Array]:
+    """Warp image+feature pyramids by both flow directions and assemble the
+    aligned fusion pyramid (film_arch.py:430-446)."""
     to_warp0 = [
-        jnp.concatenate([pyr0[i], feat0[i]], axis=-1)
+        jnp.concatenate([pyr_both[i][:n], feat_both[i][:n]], axis=-1)
         for i in range(FUSION_PYRAMID_LEVELS)
     ]
     to_warp1 = [
-        jnp.concatenate([pyr1[i], feat1[i]], axis=-1)
+        jnp.concatenate([pyr_both[i][n:], feat_both[i][n:]], axis=-1)
         for i in range(FUSION_PYRAMID_LEVELS)
     ]
 
@@ -226,11 +234,39 @@ def apply(params: Params, x0: Array, x1: Array, timestep=0.5) -> Array:
         fwd_warped.append(both[:nb])
         bwd_warped.append(both[nb:])
 
-    aligned = [
+    return [
         jnp.concatenate([fw, bw, bf, ff], axis=-1)
         for fw, bw, bf, ff in zip(fwd_warped, bwd_warped, bwd_flow, fwd_flow)
     ]
+
+
+def stage_fuse(params: Params, aligned: List[Array]) -> Array:
+    """Fusion U-Net decoder over the aligned pyramid."""
     return _fuse(params["fuse"], aligned)
+
+
+def apply(params: Params, x0: Array, x1: Array, timestep=0.5) -> Array:
+    """``Interpolator.forward`` (film_arch.py:401-459), NHWC.
+
+    ``timestep`` is accepted for executor-signature uniformity but — exactly as
+    in the reference (film_arch.py:427: ``mid_time = 0.5``) — the model always
+    synthesizes the midpoint; fractional times come from bisection scheduling.
+    Arbitrary input sizes are handled like the reference node path (which feeds
+    native-resolution frames, ``film/__init__.py:92-95``; ``pad_batch`` at
+    ``film_arch.py:638-646`` is only used by its standalone image loader):
+    every upsample resizes to the recorded finer-level shape. Output has the
+    input's shape.
+
+    Composed from the ``stage_*`` functions so ``bench.py --metric filmstages``
+    can time each stage in isolation on the chip.
+    """
+    del timestep
+    n = x0.shape[0]
+    pyr_both = stage_pyramid(x0, x1)
+    feat_both = stage_features(params, pyr_both)
+    fwd_flow, bwd_flow = stage_flow(params, feat_both, n)
+    aligned = stage_warp(pyr_both, feat_both, fwd_flow, bwd_flow, n)
+    return stage_fuse(params, aligned)
 
 
 def make_model_fn(params: Params, dtype=jnp.float32):

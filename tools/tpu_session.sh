@@ -6,13 +6,14 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=tools/tpu_session.log
-stages=${*:-warpshapes rife film batchsweep matrix psnr}
+stages=${*:-warpshapes rife film filmstages batchsweep matrix psnr}
 for s in $stages; do
   echo "=== stage $s $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
   case $s in
     warpshapes) timeout 2400 python bench.py --metric warpshapes 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     rife)       timeout 1200 python bench.py 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     film)       timeout 2400 python bench.py --metric film 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
+    filmstages) timeout 2400 python bench.py --metric filmstages 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     batchsweep) timeout 3600 python bench.py --metric batchsweep 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     # keep WARNING lines here: CFI_COMPILE_DIAG's per-computation compile logs
     # (the m2m compile forensics) are emitted at WARNING level
