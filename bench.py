@@ -859,6 +859,131 @@ def warpshapes_mode(iters=6):
         print(json.dumps(row), flush=True)
 
 
+def gridprobe_mode(batch=16, height=1088, width=1920, c=7, iters=6):
+    """Floor decomposition for the Pallas warp kernel's cost model.
+
+    Times two trivial kernels over the EXACT same grid/blockspec structure as
+    the diagonal warp bulk kernel (``warp_pallas_planes_v2``) at the RIFE
+    headline shape:
+
+    - ``step``: writes the output tile from the flow tile — measures pure
+      grid-step overhead + flow-tile pipelining + output writeback;
+    - ``dma``: additionally double-buffers the same ``[C, 24, 384]`` source
+      window DMA per step — adds the window-DMA cost.
+
+    ``(warp_ms - dma_ms)`` ≈ the VPU compute the kernel actually pays;
+    ``step_ms`` is the irreducible floor for ANY per-(8,128)-tile kernel at
+    this grid. If step_ms dominates warp_ms, the win is fewer/bigger tiles,
+    not cheaper tap math."""
+    import time
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from comfyui_frame_interpolation_tpu.ops.pallas.warp_kernel import (
+        K0_WIN, TILE_H, TILE_W,
+    )
+    from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+
+    h, w = height, width
+    win_h, win_w = min(K0_WIN[0], h), min(K0_WIN[1], w)
+    gh, gw = h // TILE_H, w // TILE_W
+    dtype = jnp.bfloat16
+
+    def probe_step(fx_ref, fy_ref, img_ref, out_ref):
+        x = fx_ref[0] + fy_ref[0]
+        for ch in range(c):
+            out_ref[0, ch] = x.astype(out_ref.dtype)
+
+    def probe_dma(fx_ref, fy_ref, img_ref, out_ref, win_ref, sem):
+        bi = pl.program_id(0)
+        hi = pl.program_id(1)
+        wi = pl.program_id(2)
+        t = (bi * gh + hi) * gw + wi
+        n_tiles = batch * gh * gw
+
+        def start_dma(tile_idx, slot):
+            b_k = tile_idx // (gh * gw)
+            rem = tile_idx % (gh * gw)
+            by = pl.multiple_of(
+                jnp.minimum((rem // gw) * TILE_H, h - win_h), TILE_H
+            )
+            bx = pl.multiple_of(
+                jnp.minimum((rem % gw) * TILE_W, w - win_w), TILE_W
+            )
+            return pltpu.make_async_copy(
+                img_ref.at[b_k, :, pl.ds(by, win_h), pl.ds(bx, win_w)],
+                win_ref.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            start_dma(0, 0).start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            start_dma(t + 1, (t + 1) % 2).start()
+
+        start_dma(t, t % 2).wait()
+        slot = t % 2
+        x = (fx_ref[0] + fy_ref[0]).astype(jnp.float32)
+        for ch in range(c):
+            out_ref[0, ch] = (
+                win_ref[slot, ch, 0:TILE_H, 0:TILE_W].astype(jnp.float32) + x
+            ).astype(out_ref.dtype)
+
+    flow_spec = pl.BlockSpec(
+        (1, TILE_H, TILE_W), lambda bi, hi, wi: (bi, hi, wi),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, c, TILE_H, TILE_W), lambda bi, hi, wi: (bi, 0, hi, wi),
+        memory_space=pltpu.VMEM,
+    )
+    common = dict(
+        grid=(batch, gh, gw),
+        in_specs=[flow_spec, flow_spec, pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+    )
+    step_call = pl.pallas_call(
+        probe_step,
+        grid_spec=pl.GridSpec(**common),
+        out_shape=jax.ShapeDtypeStruct((batch, c, h, w), dtype),
+    )
+    dma_call = pl.pallas_call(
+        probe_dma,
+        grid_spec=pl.GridSpec(
+            **common,
+            scratch_shapes=[
+                pltpu.VMEM((2, c, win_h, win_w), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, c, h, w), dtype),
+    )
+
+    key = jax.random.PRNGKey(0)
+    planes = jax.random.uniform(key, (batch, c, h, w), dtype)
+    fx = jax.random.uniform(key, (batch, h, w), dtype)
+    fy = jax.random.uniform(key, (batch, h, w), dtype)
+
+    row = {"metric": "warp_gridprobe_ms",
+           "shape": f"{batch}x{h}x{w}x{c}",
+           "grid_steps": batch * gh * gw,
+           "win": f"{win_h}x{win_w}"}
+    for name, fn in (("step", jax.jit(lambda a, b, i: step_call(a, b, i))),
+                     ("dma", jax.jit(lambda a, b, i: dma_call(a, b, i)))):
+        try:
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(fx, fy, planes)))
+            row[f"{name}_compile_s"] = round(time.perf_counter() - t0, 1)
+            sec = measure(fn, fx, fy, planes, iters=iters)
+            row[f"{name}_ms"] = round(sec * 1e3, 2)
+        except Exception as exc:
+            row[f"{name}_error"] = repr(exc)[:200]
+    print(json.dumps(row), flush=True)
+
+
 def filmstages_mode(batch=4, height=1080, width=1920, iters=5):
     """Per-stage on-chip timing of FILM's forward (pyramid / features / flow /
     warp / fuse), plus the composed total — the forensics that localizes the
@@ -957,7 +1082,7 @@ def main():
     ap.add_argument(
         "--metric", default="rife",
         choices=["rife", "psnr", "psnr_torch", "all", "matrix", "warpshapes",
-                 "batchsweep", "filmstages"]
+                 "batchsweep", "filmstages", "gridprobe"]
         + sorted(_RES),
     )
     args = ap.parse_args()
@@ -978,6 +1103,9 @@ def main():
         return
     if args.metric == "filmstages":
         filmstages_mode()
+        return
+    if args.metric == "gridprobe":
+        gridprobe_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]

@@ -6,10 +6,11 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=tools/tpu_session.log
-stages=${*:-warpshapes rife film filmstages batchsweep matrix psnr}
+stages=${*:-gridprobe warpshapes rife film filmstages batchsweep matrix psnr}
 for s in $stages; do
   echo "=== stage $s $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
   case $s in
+    gridprobe)  timeout 1200 python bench.py --metric gridprobe 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     warpshapes) timeout 2400 python bench.py --metric warpshapes 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     rife)       timeout 1200 python bench.py 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     film)       timeout 2400 python bench.py --metric film 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
