@@ -540,11 +540,32 @@ def psnr_mode():
         emit(name, f32, fbf, f0, f1, t)
 
 
-def psnr_torch_mode():
+def _demo_frames_np(n=2, h=None, w=None):
+    """n frames from demo_frames as [N,H,W,3] float32 in [0,1]: the anime
+    pair for n=2, the seq/ sequence for n>2; optionally bilinear-resized."""
+    from PIL import Image
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "demo_frames")
+    if n == 2:
+        paths = [os.path.join(d, "anime0.png"), os.path.join(d, "anime1.png")]
+    else:
+        paths = [os.path.join(d, "seq", f"{i}.png") for i in range(n)]
+    arrs = []
+    for p in paths:
+        im = Image.open(p).convert("RGB")
+        if h is not None:
+            im = im.resize((w, h), Image.BILINEAR)
+        arrs.append(np.asarray(im, np.float32) / 255.0)
+    return np.stack(arrs)
+
+
+def psnr_torch_mode(only=None):
     """Composed end-to-end PSNR gate (BASELINE.md: >= 40 dB vs reference
-    outputs on demo_frames): the reference torch arch forward on CPU vs the
-    FULL TPU node path — Pallas kernels on, native demo resolution, padding,
-    scheduling — on the SAME (random-seeded, mechanically converted) weights.
+    outputs on demo_frames) for ALL families with a CPU-runnable torch
+    reference: the reference torch arch forward on CPU vs the FULL TPU node
+    path — Pallas kernels on, padding, scheduling — on the SAME
+    (random-seeded, mechanically converted) weights. Results are written to
+    PSNR_TORCH.json (the committed artifact).
 
     This is the composed measurement the per-model small-shape parity tests
     and the bf16-vs-fp32 mode individually miss (VERDICT r2 missing #2).
@@ -558,93 +579,388 @@ def psnr_torch_mode():
     way: sepconv's kernel-normalization channel sits near zero under random
     weights — real checkpoints give ~1 — so default-precision ULP noise
     blew up through the division to a false 22 dB; at highest precision the
-    same composed path measures 109 dB.)"""
+    same composed path measures 109 dB.)
+
+    The 5 headline families run at the native demo resolution (540x960); the
+    heavier additions run on downscaled demo frames at per-family sizes
+    chosen to still exercise each node's padding path (sizes NOT multiples of
+    the model's alignment) while keeping the CPU torch forward tractable.
+    MoMo has no row: its torch denoiser is diffusers' UNet blocks (absent in
+    this image, reference vfi_models/momo/unet.py:22-28); its JAX pieces are
+    covered by tests/test_model_parity_momo.py instead."""
+    import contextlib
     import torch
 
     from comfyui_frame_interpolation_tpu.nodes import NODE_CLASS_MAPPINGS
+    from comfyui_frame_interpolation_tpu.utils.ckpt import (
+        nest_state_dict, to_jax_tree,
+    )
 
-    f0j, f1j = _load_demo_pair()
-    frames = np.concatenate([np.asarray(f0j), np.asarray(f1j)], axis=0)
-    t0 = torch.from_numpy(np.asarray(f0j).transpose(0, 3, 1, 2))
-    t1 = torch.from_numpy(np.asarray(f1j).transpose(0, 3, 1, 2))
+    # stub installers (timm/kornia/cupy-ops/...) for the heavier reference
+    # archs live in the parity-test modules; CFI_TEST_TPU=1 keeps
+    # tests/conftest from pinning this process's JAX to CPU when they import
+    os.environ.setdefault("CFI_TEST_TPU", "1")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    )
+
+    results = []
 
     def psnr(a, b):
         mse = float(np.mean((np.asarray(a, np.float32) - np.asarray(b, np.float32)) ** 2))
         return 99.0 if mse == 0 else float(10.0 * np.log10(1.0 / mse))
 
-    def emit(name, dt, val):
-        print(json.dumps({
+    def emit(name, dt, val, **extra):
+        rec = {
             "metric": f"{name}_node_vs_torch_psnr_db_{dt}",
-            "value": round(val, 2), "unit": "dB",
-            "vs_baseline": round(val / 40.0, 3),
-        }))
+            "value": None if val is None else round(val, 2), "unit": "dB",
+            **extra,
+        }
+        if val is not None:
+            rec["vs_baseline"] = round(val / 40.0, 3)
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
 
-    from comfyui_frame_interpolation_tpu.utils.ckpt import (
-        nest_state_dict, to_jax_tree,
-    )
+    def _conv(model):
+        return to_jax_tree(nest_state_dict(model.state_dict()))
 
-    def run_case(name, node_name, build, torch_fwd, node_kwargs):
-        torch.manual_seed(0)
-        model = build().eval()
-        with torch.no_grad():
-            ref_mid = torch_fwd(model).numpy().transpose(0, 2, 3, 1)[0]
-        params = to_jax_tree(nest_state_dict(model.state_dict()))
+    def run_case(name, node_name, frames, build, torch_fwd, node_kwargs,
+                 out_index=1, params_of=_conv):
+        """frames: [N,H,W,3] np; torch_fwd(model, ts) -> NCHW mid-frame tensor
+        (ts = per-frame 1xCxHxW tensors); node output frame [out_index] is the
+        t=0.5 task both sides computed."""
+        if only and name not in only:
+            return
+        try:
+            torch.manual_seed(0)
+            model = build()
+            if hasattr(model, "eval"):
+                model = model.eval()
+            ts = [
+                torch.from_numpy(f.transpose(2, 0, 1)).unsqueeze(0)
+                for f in frames
+            ]
+            with torch.no_grad():
+                ref_mid = torch_fwd(model, ts).numpy().transpose(0, 2, 3, 1)[0]
+            params = params_of(model)
+        except Exception as exc:  # keep the gate sweeping
+            emit(name, "fp32", None, error=repr(exc)[:300])
+            return
         node = NODE_CLASS_MAPPINGS[node_name]()
         for dt_name in ("float32", "bfloat16"):
-            import contextlib
-
+            dt = "fp32" if dt_name == "float32" else "bf16"
             prec = (
                 jax.default_matmul_precision("highest")
                 if dt_name == "float32" else contextlib.nullcontext()
             )
-            with prec:
-                out, = node.vfi(
-                    frames=frames, multiplier=2, params=params,
-                    dtype=dt_name, batch_size=1, **node_kwargs,
-                )
-            mid = np.asarray(out)[1]
-            emit(name, "fp32" if dt_name == "float32" else "bf16",
-                 psnr(ref_mid, mid))
+            try:
+                with prec:
+                    out, = node.vfi(
+                        frames=frames, params=params, dtype=dt_name,
+                        **node_kwargs,
+                    )
+                mid = np.asarray(out)[out_index]
+                emit(name, dt, psnr(ref_mid, mid),
+                     resolution=f"{frames.shape[1]}x{frames.shape[2]}")
+            except Exception as exc:
+                emit(name, dt, None, error=repr(exc)[:300])
 
+    frames2 = _demo_frames_np(2)  # native 540x960 anime pair
+    t0 = torch.from_numpy(frames2[0].transpose(2, 0, 1)).unsqueeze(0)
     half = torch.full((1, 1, 1, 1), 0.5)
+    kw2 = {"multiplier": 2, "batch_size": 1}
 
     run_case(
-        "rife47", "RIFE VFI",
+        "rife47", "RIFE VFI", frames2,
         lambda: _load_ref("vfi_models/rife/rife_arch.py", "pt_rife").IFNet(
             arch_ver="4.7"
         ),
-        lambda m: m(t0, t1, half, [8, 4, 2, 1], training=False,
-                    fastmode=True, ensemble=False),
-        {"ckpt_name": "rife47.pth", "fast_mode": True, "ensemble": False},
+        lambda m, ts: m(ts[0], ts[1], half, [8, 4, 2, 1], training=False,
+                        fastmode=True, ensemble=False),
+        {"ckpt_name": "rife47.pth", "fast_mode": True, "ensemble": False,
+         **kw2},
     )
     run_case(
-        "film", "FILM VFI",
+        "film", "FILM VFI", frames2,
         lambda: _load_ref("vfi_models/film/film_arch.py", "pt_film").Interpolator(),
-        lambda m: m(t0, t1, t0.new_full((1, 1), 0.5)),
-        {"ckpt_name": "film_net_fp32.pt"},
+        lambda m, ts: m(ts[0], ts[1], ts[0].new_full((1, 1), 0.5)),
+        {"ckpt_name": "film_net_fp32.pt", **kw2},
     )
     run_case(
-        "ifrnet", "IFRNet VFI",
+        "ifrnet", "IFRNet VFI", frames2,
         lambda: _load_ref(
             "vfi_models/ifrnet/IFRNet_S_arch.py", "pt_ifrnet"
         ).IRFNet_S(),
-        lambda m: m(t0, t1, scale_factor=1.0, timestep=0.5),
-        {"ckpt_name": "IFRNet_S_Vimeo90K.pth", "scale_factor": 1.0},
+        lambda m, ts: m(ts[0], ts[1], scale_factor=1.0, timestep=0.5),
+        {"ckpt_name": "IFRNet_S_Vimeo90K.pth", "scale_factor": 1.0, **kw2},
     )
     run_case(
-        "m2m", "M2M VFI",
+        "m2m", "M2M VFI", frames2,
         lambda: _load_ref("vfi_models/m2m/M2M_arch.py", "pt_m2m").M2M_PWC(),
-        lambda m: m(t0, t1, [half])[0],
-        {"ckpt_name": "M2M.pth"},
+        lambda m, ts: m(ts[0], ts[1], [half])[0],
+        {"ckpt_name": "M2M.pth", **kw2},
     )
     run_case(
-        "sepconv", "Sepconv VFI",
+        "sepconv", "Sepconv VFI", frames2,
         lambda: _load_ref(
             "vfi_models/sepconv/sepconv_enhanced.py", "pt_sepconv"
         ).Network(),
-        lambda m: m(t0, t1),
-        {"ckpt_name": "sepconv.pth"},
+        lambda m, ts: m(ts[0], ts[1]),
+        {"ckpt_name": "sepconv.pth", **kw2},
     )
+
+    # ---- extended families (VERDICT r3 weak #5): same harness, the torch
+    # side replicates each reference NODE's caller-side padding so the ground
+    # truth is at the original resolution, exactly like the node output.
+
+    run_case(
+        "cain", "CAIN VFI", frames2,
+        lambda: _load_ref("vfi_models/cain/cain_arch.py", "pt_cain").CAIN(
+            depth=3
+        ),
+        lambda m, ts: m(ts[0].clone(), ts[1].clone())[0],
+        {"ckpt_name": "pretrained_cain.pth", **kw2},
+    )
+
+    def _amt_fwd(m, ts):
+        # reference amt/__init__.py:69-84: InputPadder(shape, 16) around the
+        # whole clip, centered replicate pad
+        arch = _load_ref("vfi_models/amt/amt_arch.py", "pt_amt_pad")
+        padder = arch.InputPadder(ts[0].shape, 16)
+        embt = ts[0].new_full((1, 1, 1, 1), 0.5)
+        out = m(padder.pad(ts[0]), padder.pad(ts[1]), embt,
+                scale_factor=1.0, eval=True)["imgt_pred"]
+        return padder.unpad(out)
+
+    run_case(
+        "amt", "AMT VFI", frames2,
+        lambda: _load_ref("vfi_models/amt/amt_arch.py", "pt_amt").AMT_S(
+            corr_radius=3, corr_lvls=4, num_flows=3
+        ),
+        _amt_fwd,
+        {"ckpt_name": "amt-s.pth", **kw2},
+    )
+    run_case(
+        "ifunet", "IFUnet VFI", frames2,
+        lambda: _load_ref(
+            "vfi_models/ifunet/IFUNet_arch.py", "pt_ifunet"
+        ).IFUNetModel(),
+        lambda m, ts: m(ts[0], ts[1], timestep=0.5, scale=1.0,
+                        ensemble=False),
+        {"ckpt_name": "IFUNet.pth", "scale_factor": 1.0, "ensemble": False,
+         **kw2},
+    )
+
+    def _xvfi_fwd(m, ts):
+        # reference xvfi/__init__.py:86-89: zero-pad bottom/right to divide =
+        # 2**S_tst * module_scale_factor * 4 = 16 (Vimeo config), crop after
+        import torch.nn.functional as F
+
+        h, w = ts[0].shape[-2:]
+        ph, pw = (16 - h % 16) % 16, (16 - w % 16) % 16
+        i0 = F.pad(ts[0], (0, pw, 0, ph))
+        i1 = F.pad(ts[1], (0, pw, 0, ph))
+        x = torch.stack([i0, i1], dim=2)
+        out = m(x, torch.tensor([[0.5]]), is_training=False)
+        return out[..., :h, :w]
+
+    def _build_xvfi():
+        import argparse as _ap
+
+        args = _ap.Namespace(
+            gpu=torch.device("cpu"), nf=64, module_scale_factor=2,
+            S_trn=1, S_tst=1, img_ch=3,
+        )
+        return _load_ref(
+            "vfi_models/xvfi/xvfi_arch.py", "pt_xvfi"
+        ).XVFInet(args)
+
+    run_case(
+        "xvfi", "XVFI VFI", frames2, _build_xvfi, _xvfi_fwd,
+        {"ckpt_name": "XVFInet_Vimeo_exp1_latest.pt", **kw2},
+    )
+
+    frames_g = _demo_frames_np(2, 270, 480)  # exercises the /64 pad path
+
+    def _build_gmfss():
+        from test_model_parity_gmfss import _setup_pkgs
+
+        _setup_pkgs()
+        return _load_ref(
+            "vfi_models/gmfss_fortuna/GMFSS_Fortuna_arch.py", "pt_gmfss"
+        ).Model()
+
+    def _gmfss_params(model):
+        from test_model_parity_gmfss import _params_from
+
+        return _params_from(model)
+
+    def _gmfss_fwd(m, ts):
+        # reference gmfss_fortuna/__init__.py:44-48: zero-pad to /64, crop
+        import torch.nn.functional as F
+
+        h, w = ts[0].shape[-2:]
+        ph, pw = -(-h // 64) * 64, -(-w // 64) * 64
+        i0 = F.pad(ts[0], (0, pw - w, 0, ph - h))
+        i1 = F.pad(ts[1], (0, pw - w, 0, ph - h))
+        r = m.reuse(i0, i1, 1.0)
+        return m.inference(i0, i1, *r, 0.5)[..., :h, :w]
+
+    run_case(
+        "gmfss", "GMFSS Fortuna VFI", frames_g, _build_gmfss, _gmfss_fwd,
+        {"ckpt_name": "GMFSS_fortuna", **kw2}, params_of=_gmfss_params,
+    )
+
+    def _build_atm():
+        from test_model_parity_atm import _install_timm_stub
+
+        _install_timm_stub()
+        return _load_ref("vfi_models/atm/network_lite.py", "pt_atm").Network(
+            global_motion=False, ensemble_global_motion=False
+        )
+
+    def _atm_fwd(m, ts):
+        # reference atm/__init__.py:62-70: centered /64 replicate pad
+        arch = _load_ref("vfi_models/atm/__init__.py", "pt_atm_init")
+        padder = arch.InputPadder(ts[0].shape, divisor=64)
+        x0, x1 = padder.pad(ts[0], ts[1])
+        out = m.forward(x0, x1)["I_t"]
+        return padder.unpad(out)
+
+    run_case(
+        "atm", "ATM VFI", frames_g, _build_atm, _atm_fwd,
+        {"ckpt_name": "atm-vfi-lite.pt", "global_motion": "Off (fastest)",
+         **kw2},
+    )
+
+    frames4 = _demo_frames_np(4, 240, 424)
+
+    def _flavr_fwd(m, ts):
+        arch = _load_ref("vfi_models/flavr/flavr_arch.py", "pt_flavr_pad")
+        padder = arch.InputPadder(ts[0].shape, 16)
+        out = m([padder.pad(f) for f in ts])[0]
+        return padder.unpad(out)
+
+    def _build_flavr():
+        import types
+
+        from conftest import REFERENCE_DIR
+
+        for pkg_name, sub in (("vfi_models", ""), ("vfi_models.flavr", "flavr")):
+            if pkg_name not in sys.modules:
+                pkg = types.ModuleType(pkg_name)
+                pkg.__path__ = [os.path.join(REFERENCE_DIR, "vfi_models", sub)]
+                sys.modules[pkg_name] = pkg
+        return _load_ref(
+            "vfi_models/flavr/flavr_arch.py", "pt_flavr"
+        ).UNet_3D_3D(
+            "unet_18", n_inputs=4, n_outputs=1, joinType="concat",
+            upmode="transpose",
+        )
+
+    run_case(
+        "flavr", "FLAVR VFI", frames4, _build_flavr, _flavr_fwd,
+        {"ckpt_name": "FLAVR_2x.pth", **kw2},
+        out_index=2,  # plan_window4(4, False).output: [f0, f1, mid12, f2, f3]
+    )
+
+    frames4s = _demo_frames_np(4, 256, 448)  # stmfnet arch needs /32 input
+
+    def _build_stmfnet():
+        import types
+
+        import torch_ops_stub
+        from test_model_parity_stmfnet import _build_model
+
+        torch_ops_stub.install()
+        if "vfi_utils" not in sys.modules:
+            vu = types.ModuleType("vfi_utils")
+            vu.get_ckpt_container_path = lambda mt: "/tmp/ckpts"
+            sys.modules["vfi_utils"] = vu
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        ref = _load_ref("vfi_models/stmfnet/stmfnet_arch.py", "pt_stmfnet")
+        return _build_model(ref)
+
+    run_case(
+        "stmfnet", "STMFNet VFI", frames4s, _build_stmfnet,
+        lambda m, ts: m(*ts),
+        {"ckpt_name": "stmfnet.pth", "duplicate_first_last_frames": True,
+         **kw2},
+        out_index=3,  # plan_window4(4, True): [f0, f0, f1, mid12, f2, f3, f3]
+    )
+
+    def _build_eisai():
+        import torch_ops_stub
+        from test_model_parity_eisai import (
+            _install_cv2_stub, _install_kornia_stub, _install_torchvision_stub,
+        )
+
+        torch_ops_stub.install()
+        _install_kornia_stub()
+        _install_torchvision_stub()
+        _install_cv2_stub()
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        ref = _load_ref("vfi_models/eisai/eisai_arch.py", "pt_eisai")
+        return (
+            ref.RAFT(None).eval(), ref.SoftsplatLite().eval(),
+            ref.DTM().eval(),
+        )
+
+    def _eisai_params(models):
+        raft, ssl, dtm = models
+        return {
+            "raft": _conv(raft)["raft"],
+            "ssl": _conv(ssl),
+            "dtm": _conv(dtm),
+        }
+
+    def _eisai_fwd(models, ts):
+        # node wiring per reference eisai/__init__.py:30-40; iters=4 keeps the
+        # CPU RAFT tractable at native 540x960 (both sides use the same iters)
+        raft, ssl, dtm = models
+        flow0, _ = raft(ts[0], ts[1], iters=4)
+        flow1, _ = raft(ts[1], ts[0], iters=4)
+        x = {
+            "images": torch.stack([ts[0], ts[1]], dim=1),
+            "flows": torch.stack([flow0, flow1], dim=1),
+        }
+        out_ssl, locs = ssl(x, t=0.5, return_more=True)
+        out_dtm, _ = dtm(x, out_ssl, locs, return_more=False)
+        return out_dtm[:, :3]
+
+    run_case(
+        "eisai", "EISAI VFI", frames2, _build_eisai, _eisai_fwd,
+        {"ckpt_name": "eisai", "iters": 4, **kw2}, params_of=_eisai_params,
+    )
+
+    emit("momo", "fp32", None,
+         skipped="torch reference denoiser is diffusers' UNet blocks "
+                 "(vfi_models/momo/unet.py:22-28); diffusers absent in this "
+                 "image — JAX pieces covered by tests/test_model_parity_momo.py")
+
+    if not only:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "PSNR_TORCH.json"
+        )
+        doc = {
+            "comment": (
+                "Composed end-to-end PSNR gate (bench.py --metric "
+                "psnr_torch): reference torch arch forward on CPU vs the "
+                "FULL TPU node path (Pallas kernels on, per-family padding, "
+                "scheduling) on identical mechanically-converted "
+                "random-seeded weights. BASELINE.md target: >= 40 dB on "
+                "fp32 rows (bf16 rows informational: random weights leave "
+                "bf16 error un-contracted). The 5 headline families run at "
+                "native 540x960; heavier families run on downscaled demo "
+                "frames (resolution per row) chosen to exercise each node's "
+                "padding path. momo: see its row."
+            ),
+            "results": results,
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps({"metric": "psnr_torch_written", "path": path,
+                          "rows": len(results)}), flush=True)
 
 
 def _emit(metric, fps, baseline, estimated=False):
@@ -682,6 +998,8 @@ def matrix_mode():
     table to BENCH_MATRIX.md (the committed full-matrix artifact)."""
     import datetime
     import subprocess
+
+    import comfyui_frame_interpolation_tpu  # noqa: F401  (sets the compile-cache config)
 
     n_cache, cache_dir = _cache_dir_entries()
     print(json.dumps({"metric": "compile_cache_status", "dir": cache_dir,
@@ -984,14 +1302,19 @@ def gridprobe_mode(batch=16, height=1088, width=1920, c=7, iters=6):
     print(json.dumps(row), flush=True)
 
 
-def filmstages_mode(batch=4, height=1080, width=1920, iters=5):
+def filmstages_mode(batch=2, height=1080, width=1920, iters=5):
     """Per-stage on-chip timing of FILM's forward (pyramid / features / flow /
     warp / fuse), plus the composed total — the forensics that localizes the
     film_1080p_2x deficit (2.4 f/s vs the 8 f/s baseline estimate) without
     needing trace tooling. Stage list mirrors ``models/film.py:apply``; each
     stage is jitted standalone over realistic intermediates, so the sum can
     exceed the fused total (XLA fuses across stage boundaries in the real
-    forward) — the interesting signal is each stage's share."""
+    forward) — the interesting signal is each stage's share.
+
+    batch=2 (not the headline 4): all stage intermediates are held
+    device-resident simultaneously here, which OOMed v5e HBM at batch 4
+    (17.07 G of 15.75 G, round-3 session log); per-frame ms is
+    batch-normalized so shares stay representative."""
     import time
 
     from comfyui_frame_interpolation_tpu.models import film
@@ -1085,12 +1408,20 @@ def main():
                  "batchsweep", "filmstages", "gridprobe"]
         + sorted(_RES),
     )
+    ap.add_argument(
+        "--families", default=None,
+        help="comma-separated family subset for --metric psnr_torch "
+             "(debugging; the PSNR_TORCH.json artifact is only written on "
+             "full runs)",
+    )
     args = ap.parse_args()
     if args.metric == "psnr":
         psnr_mode()
         return
     if args.metric == "psnr_torch":
-        psnr_torch_mode()
+        psnr_torch_mode(
+            only=args.families.split(",") if args.families else None
+        )
         return
     if args.metric == "matrix":
         matrix_mode()

@@ -801,6 +801,8 @@ class EISAI_VFI:
         params: dict = None,
         batch_size: int = 2,
         dtype: str = "float32",
+        iters: int = 12,  # RAFT refinement iterations (reference hard-codes
+        # 12, eisai_arch.py; exposed for cheap-flow runs and the PSNR gate)
         **kwargs,
     ):
         from ..models import eisai as eisai_model
@@ -818,10 +820,10 @@ class EISAI_VFI:
                     .get("flownet", sd.get("flownet", sd)),
                 ),
             }
-        key = (id(params.get("ssl")), dtype)
+        key = (id(params.get("ssl")), dtype, iters)
         if key not in self._cache:
             self._cache[key] = eisai_model.make_pair_fns(
-                params, dtype=DTYPE_MAP[dtype]
+                params, dtype=DTYPE_MAP[dtype], iters=iters
             )
         reuse_fn, infer_fn = self._cache[key]
         plan = plan_timestep(frames.shape[0], multiplier, optional_interpolation_states)

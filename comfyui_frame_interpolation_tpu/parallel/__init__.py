@@ -1,4 +1,4 @@
-from .infer import make_sharded_model_fn
+from .infer import make_sharded_model_fn, make_sharded_pair_fns
 from .mesh import (
     MIN_ROWS_PER_SHARD,
     data_sharding,
@@ -14,6 +14,7 @@ __all__ = [
     "frame_sharding",
     "make_mesh",
     "make_sharded_model_fn",
+    "make_sharded_pair_fns",
     "replicated",
     "l1_loss",
     "make_train_step",

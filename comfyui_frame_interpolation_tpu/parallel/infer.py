@@ -13,9 +13,16 @@ callable already closed over, and let XLA insert the halo exchanges.
 4-frame-window models (drop-in for :func:`core.run_plan_window4`) — into an
 identically-shaped callable that runs sharded over a mesh. NHWC batch args
 shard by the frame policy; 1-D args (the timestep vector) shard over
-``data``. ``run_plan_pair_cached``'s (reuse_fn, infer_fn) pair is NOT
-covered: its cache pytree's sharding is model-specific — shard those two
-callables by hand with the :mod:`.mesh` helpers instead.
+``data``.
+
+``make_sharded_pair_fns`` covers :func:`core.run_plan_pair_cached`'s
+(reuse_fn, infer_fn) pair — GMFSS/M2M/EISAI, the heaviest families. The
+cache pytree's *structure* is model-specific, but its sharding need not be
+spelled out: every leaf is a per-pair tensor with a leading batch dimension,
+computed from batch-sharded endpoints, so jitting ``reuse_fn`` with the
+endpoints committed to the frame sharding makes GSPMD propagate a
+batch-sharded layout onto every cache leaf automatically; ``infer_fn`` then
+consumes those committed leaves as-is.
 
 Outputs stay data-sharded: the executors only slice along the batch axis and
 transfer to host, so replicating them would waste ICI bandwidth.
@@ -31,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import frame_sharding
 
-__all__ = ["make_sharded_model_fn"]
+__all__ = ["make_sharded_model_fn", "make_sharded_pair_fns"]
 
 
 def make_sharded_model_fn(model_fn: Callable, mesh: Mesh) -> Callable:
@@ -67,3 +74,36 @@ def make_sharded_model_fn(model_fn: Callable, mesh: Mesh) -> Callable:
             return jitted[key](*args)
 
     return sharded_fn
+
+
+def make_sharded_pair_fns(
+    reuse_fn: Callable, infer_fn: Callable, mesh: Mesh
+) -> tuple:
+    """Shard a ``run_plan_pair_cached`` (reuse_fn, infer_fn) pair over ``mesh``.
+
+    Drop-in: returns ``(sharded_reuse, sharded_infer)`` with the executor's
+    signatures (``reuse_fn(f0, f1) -> cache``, ``infer_fn(f0, f1, cache, t) ->
+    mids``). Endpoint batches are committed to :func:`~.mesh.frame_sharding`
+    and the timestep vector to ``data``; the cache pytree — whose structure
+    only the model knows — needs no explicit specs: GSPMD propagates the
+    batch-sharded layout of the endpoints onto every cache leaf of
+    ``reuse_fn``'s output, and ``infer_fn`` is compiled against those
+    committed leaf shardings. The executor's ``batch_size`` must be a
+    multiple of ``mesh.shape['data']``.
+    """
+    tvec = NamedSharding(mesh, P("data"))
+    jit_reuse = jax.jit(reuse_fn)
+    jit_infer = jax.jit(infer_fn)
+
+    def put(a):
+        return jax.device_put(a, frame_sharding(mesh, a.shape))
+
+    def sharded_reuse(f0, f1):
+        with mesh:
+            return jit_reuse(put(f0), put(f1))
+
+    def sharded_infer(f0, f1, cache, t):
+        with mesh:
+            return jit_infer(put(f0), put(f1), cache, jax.device_put(t, tvec))
+
+    return sharded_reuse, sharded_infer

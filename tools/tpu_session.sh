@@ -6,7 +6,10 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=tools/tpu_session.log
-stages=${*:-gridprobe warpshapes rife film filmstages batchsweep matrix psnr}
+# Deliverables first (committed artifacts: BENCH_MATRIX.md, PSNR_TORCH rows),
+# exploratory probes after — tunnel time is scarce and rounds have died with
+# only the probes run.
+stages=${*:-matrix psnr rife film filmstages gridprobe warpshapes batchsweep}
 for s in $stages; do
   echo "=== stage $s $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
   case $s in
