@@ -105,7 +105,15 @@ def is_torchscript_archive(path: str) -> bool:
         return False
 
 
-def load_torch_state_dict(path: str, nested_keys=("state_dict", "model_state_dict", "model")) -> Dict:
+def load_torch_state_dict(
+    path: str,
+    nested_keys=(
+        "state_dict",        # AMT/CAIN/FLAVR/STMFNet (amt/__init__.py:65, ...)
+        "model_state_dict",  # ATM (atm/__init__.py:131)
+        "model",             # MoMo (momo/__init__.py:123)
+        "state_dict_Model",  # XVFI (xvfi/__init__.py:37)
+    ),
+) -> Dict:
     """Load a torch pickle OR TorchScript archive and return the (un-nested,
     un-prefixed) state dict as a nested numpy tree."""
     import torch
