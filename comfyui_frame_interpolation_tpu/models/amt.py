@@ -118,15 +118,6 @@ def _decoder_block(p: Params, f_in: Array, side: int) -> Array:
 # ---------------------------------------------------------------- correlation
 
 
-def _all_pairs_corr(f0: Array, f1: Array) -> Array:
-    """[B,H,W,C] x2 → [B*H*W, H, W, 1] (amt_arch.py:1134-1151)."""
-    b, h, w, c = f0.shape
-    a = f0.reshape(b, h * w, c)
-    bb = f1.reshape(b, h * w, c)
-    corr = jnp.einsum("bic,bjc->bij", a, bb) / math.sqrt(c)
-    return corr.reshape(b * h * w, h, w, 1)
-
-
 def _avg_pool_nhwc(x: Array) -> Array:
     from .common import avg_pool2d
 
@@ -134,48 +125,79 @@ def _avg_pool_nhwc(x: Array) -> Array:
 
 
 class _BidirCorr:
+    """Factorized bidirectional RAFT-style correlation (amt_arch.py:1076-1151).
+
+    The reference materializes the all-pairs volume ``corr[i, j] = <f0_i,
+    f1_j>/sqrt(c)`` as a ``[B*H*W, H, W]`` tensor plus its transpose and
+    avg-pooled pyramids of both — at 1080p (H/8*W/8 = 32640 positions) that is
+    ~8.5 GB of HBM traffic per direction before a single lookup. Because the
+    correlation is LINEAR in each feature map, the volume never needs to
+    exist: avg-pooling corr over the target dims equals correlating against
+    the avg-pooled target features, and bilinear-sampling the pooled volume
+    equals bilinear-sampling the pooled target features and dotting with the
+    (full-resolution) query feature:
+
+        pool_l(corr)(i, j_l)           = <f0_i, pool_l(f1)_{j_l}> / sqrt(c)
+        bilin(pool_l(corr))(i, p)      = <f0_i, bilin(pool_l(f1))(p)> / sqrt(c)
+
+    (zeros padding commutes too: an out-of-range tap contributes a zero
+    feature and hence a zero dot). So this class keeps only the two feature
+    pyramids — O(B*HW*C) instead of O(B*HW^2) — and each lookup gathers
+    pooled features in a window and contracts over channels, which is
+    mathematically identical to the reference volume lookup and maps onto
+    dense gathers + a small matmul instead of a giant scattered gather.
+    Window taps are processed in rows of 2r+1 to bound the gathered
+    ``[..., taps, C]`` transient."""
+
     def __init__(self, f0: Array, f1: Array, num_levels=_LEVELS, radius=_RADIUS):
         self.radius = radius
-        self.b, self.h, self.w, _ = f0.shape
-        corr = _all_pairs_corr(f0, f1)
-        corr_t = corr.reshape(self.b, self.h, self.w, self.h, self.w, 1)
-        corr_t = corr_t.transpose(0, 3, 4, 1, 2, 5).reshape(
-            self.b * self.h * self.w, self.h, self.w, 1
-        )
-        self.pyr = [corr]
-        self.pyr_t = [corr_t]
+        self.b, self.h, self.w, self.c = f0.shape
+        self.f0 = f0
+        self.f1 = f1
+        self.f0_pyr = [f0]
+        self.f1_pyr = [f1]
         for _ in range(num_levels - 1):
-            self.pyr.append(_avg_pool_nhwc(self.pyr[-1]))
-            self.pyr_t.append(_avg_pool_nhwc(self.pyr_t[-1]))
+            self.f0_pyr.append(_avg_pool_nhwc(self.f0_pyr[-1]))
+            self.f1_pyr.append(_avg_pool_nhwc(self.f1_pyr[-1]))
 
-    def lookup(self, coords0: Array, coords1: Array) -> Tuple[Array, Array]:
-        """coords*: [B, H, W, 2] pixel coords; returns [B,H,W,levels*(2r+1)^2] x2."""
+    def _windowed(self, query: Array, pyr, coords: Array) -> Array:
+        """[B,H,W,levels*(2r+1)^2]: <query_q, bilin(pool_l(target))(coords_q/2^l
+        + delta)>/sqrt(c) for the (2r+1)^2 delta window at every level."""
         r = self.radius
         n = 2 * r + 1
+        b, h, w, c = query.shape
         dxy = jnp.stack(
             jnp.meshgrid(
                 jnp.linspace(-r, r, n), jnp.linspace(-r, r, n), indexing="ij"
             ),
             axis=-1,
         )  # [n, n, (dy, dx)]
-        outs0, outs1 = [], []
-        for i, (corr, corr_t) in enumerate(zip(self.pyr, self.pyr_t)):
-            c0 = coords0.reshape(self.b * self.h * self.w, 1, 1, 2) / (2**i)
-            c1 = coords1.reshape(self.b * self.h * self.w, 1, 1, 2) / (2**i)
-            # delta[..., 0] is dy added to y, [..., 1] is dx added to x — but the
-            # reference adds delta (dy,dx-ordered) to (x,y)-ordered coords
-            # directly (amt_arch.py:1119-1121), so x += dy-grid, y += dx-grid.
-            sx0 = c0[..., 0] + dxy[None, ..., 0]
-            sy0 = c0[..., 1] + dxy[None, ..., 1]
-            sx1 = c1[..., 0] + dxy[None, ..., 0]
-            sy1 = c1[..., 1] + dxy[None, ..., 1]
-            g0 = bilinear_sample(corr, sx0, sy0, padding_mode="zeros")
-            g1 = bilinear_sample(corr_t, sx1, sy1, padding_mode="zeros")
-            outs0.append(g0.reshape(self.b, self.h, self.w, n * n))
-            outs1.append(g1.reshape(self.b, self.h, self.w, n * n))
+        scale = 1.0 / math.sqrt(self.c)
+        outs = []
+        for i, tgt in enumerate(pyr):
+            cl = coords / (2**i)  # [B, H, W, 2]
+            rows = []
+            for k in range(n):  # one row of the tap window at a time
+                # the reference adds the (dy,dx)-ordered delta to (x,y)-ordered
+                # coords directly (amt_arch.py:1119-1121), so x += dy-grid and
+                # y += dx-grid — reproduced verbatim.
+                sx = cl[..., 0:1] + dxy[k, :, 0]  # [B, H, W, n]
+                sy = cl[..., 1:2] + dxy[k, :, 1]
+                sampled = bilinear_sample(
+                    tgt,
+                    sx.reshape(b, h, w * n),
+                    sy.reshape(b, h, w * n),
+                    padding_mode="zeros",
+                ).reshape(b, h, w, n, tgt.shape[-1])
+                rows.append(jnp.einsum("bhwkc,bhwc->bhwk", sampled, query))
+            outs.append(jnp.concatenate(rows, axis=-1) * scale)
+        return jnp.concatenate(outs, axis=-1)
+
+    def lookup(self, coords0: Array, coords1: Array) -> Tuple[Array, Array]:
+        """coords*: [B, H, W, 2] pixel coords; returns [B,H,W,levels*(2r+1)^2] x2."""
         return (
-            jnp.concatenate(outs0, axis=-1),
-            jnp.concatenate(outs1, axis=-1),
+            self._windowed(self.f0, self.f1_pyr, coords0),
+            self._windowed(self.f1, self.f0_pyr, coords1),
         )
 
 

@@ -9,7 +9,7 @@ LOG=tools/tpu_session.log
 # Deliverables first (committed artifacts: BENCH_MATRIX.md, PSNR_TORCH rows),
 # exploratory probes after — tunnel time is scarce and rounds have died with
 # only the probes run.
-stages=${*:-matrix psnr rife film filmstages gridprobe warpshapes batchsweep}
+stages=${*:-matrix psnr rife film filmstages slowstages gridprobe warpshapes batchsweep}
 for s in $stages; do
   echo "=== stage $s $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
   case $s in
@@ -18,6 +18,7 @@ for s in $stages; do
     rife)       timeout 1200 python bench.py 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     film)       timeout 2400 python bench.py --metric film 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     filmstages) timeout 2400 python bench.py --metric filmstages 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
+    slowstages) timeout 3600 python bench.py --metric slowstages 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     batchsweep) timeout 3600 python bench.py --metric batchsweep 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     # keep WARNING lines here: CFI_COMPILE_DIAG's per-computation compile logs
     # (the m2m compile forensics) are emitted at WARNING level
