@@ -1092,16 +1092,18 @@ def matrix_mode():
 # (batch, h, w, c) of every distinct warp call in the two headline configs
 # (census via eval_shape probes: RIFE 4.7 batch-8 = 16-batch bidirectional at
 # full res; FILM batch-4 = 8-batch bidirectional across the fusion+flow
-# pyramid). The A/B below drives kernel-dispatch policy for these shapes.
+# pyramid — images and features warp as separate parts since the virtual-
+# concat restructure, so the shapes are the natural per-part widths). The
+# A/B below drives kernel-dispatch policy for these shapes.
 _WARP_SHAPES = [
     ("rife_c3", (16, 1088, 1920, 3)),
     ("rife_c7", (16, 1088, 1920, 7)),
+    ("film_l0_img", (8, 1080, 1920, 3)),
     ("film_l0_feat", (8, 1080, 1920, 64)),
-    ("film_l0_fuse", (8, 1080, 1920, 67)),
-    ("film_l1", (8, 540, 960, 195)),
-    ("film_l2", (8, 270, 480, 451)),
-    ("film_l3", (8, 135, 240, 963)),
-    ("film_l4", (8, 67, 120, 963)),
+    ("film_l1_feat", (8, 540, 960, 192)),
+    ("film_l2_feat", (8, 270, 480, 448)),
+    ("film_l3_feat", (8, 135, 240, 960)),
+    ("film_l4_feat", (8, 67, 120, 960)),
 ]
 
 
@@ -1398,6 +1400,26 @@ def slowstages_mode():
         cache = timed(f"eisai_raft{it}_540p_b2", r_fn, f0, f1)
         if it == 12 and cache is not None:
             timed("eisai_ssl_dtm_540p_b2", i_fn, f0, f1, cache, t)
+
+    # --- m2m 1080p b4: PWC-flow reuse vs per-timestep multi-scale softsplat
+    from comfyui_frame_interpolation_tpu.models import m2m
+
+    def m2m_build():
+        import torch_ops_stub
+
+        torch_ops_stub.install()
+        return load_reference_module(
+            "vfi_models/m2m/M2M_arch.py", "ss_m2m_arch"
+        ).M2M_PWC()
+
+    mparams = _reference_params(m2m_build)
+    r_fn, i_fn = m2m.make_pair_fns(mparams, dtype=jnp.bfloat16)
+    f0 = _rand_frames(4, 1080, 1920, 0)
+    f1 = _rand_frames(4, 1080, 1920, 1)
+    t = jnp.full((4,), 0.5, jnp.float32)
+    cache = timed("m2m_reuse_1080p_b4", r_fn, f0, f1)
+    if cache is not None:
+        timed("m2m_infer_1080p_b4", i_fn, f0, f1, cache, t)
 
     # --- amt 1088p b2 full forward (post-factorized-correlation number; the
     # matrix row is the committed artifact, this is the quick re-measure)

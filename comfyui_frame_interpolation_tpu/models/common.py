@@ -317,6 +317,38 @@ def resize_bilinear(
     return x
 
 
+def conv2d_concat(
+    parts,
+    node: Params,
+    stride: Union[int, Tuple[int, int]] = 1,
+    padding: Union[int, Tuple[int, int]] = 0,
+    dilation: Union[int, Tuple[int, int]] = 1,
+) -> Array:
+    """``conv2d`` over the *virtual* channel-concatenation of ``parts``
+    without materializing it: ``conv(concat(xs), W) == Σ_i conv(x_i, W_i)``
+    with ``W`` sliced along the input-channel dim (exact up to fp summation
+    order; bias added once). TPU motivation: lane tiles are 128 channels
+    wide, so a concat like FILM's 138/202/394/1930-channel fusion inputs
+    materializes with up to ~2x padding waste in HBM and every consumer pays
+    the padded traffic — summing part-convs keeps each part at its natural
+    width and skips the concat round-trip entirely."""
+    w = node["weight"]  # (O, I, kh, kw), torch layout
+    out = None
+    off = 0
+    for x in parts:
+        c = x.shape[-1]
+        y = conv2d(
+            x, {"weight": w[:, off:off + c]}, stride=stride, padding=padding,
+            dilation=dilation,
+        )
+        out = y if out is None else out + y
+        off += c
+    assert off == w.shape[1], (off, w.shape)
+    if "bias" in node and node["bias"] is not None:
+        out = out + node["bias"].astype(out.dtype)
+    return out
+
+
 def conv2x2_up2x(x: Array, node: Params) -> Array:
     """Fused ``resize_nearest(2x)`` + torch ``Conv2d(k=2, padding='same')``.
 
@@ -329,7 +361,24 @@ def conv2x2_up2x(x: Array, node: Params) -> Array:
     zero-pad on the right/bottom of U) maps to a right/bottom zero pad of
     ``x`` for the phases that read ``i+1``/``j+1``. Used by FILM's fusion
     decoder (``film_arch.py:258-292``), whose every upsample is an exact 2x.
+
+    ``x`` may be a list of channel parts (a virtual concat): the kernel is
+    sliced along input channels and partial outputs summed, as in
+    :func:`conv2d_concat`.
     """
+    if isinstance(x, (list, tuple)):
+        w = node["weight"]
+        out = None
+        off = 0
+        for part in x:
+            c = part.shape[-1]
+            y = conv2x2_up2x(part, {"weight": w[:, off:off + c]})
+            out = y if out is None else out + y
+            off += c
+        assert off == w.shape[1], (off, w.shape)
+        if "bias" in node and node["bias"] is not None:
+            out = out + node["bias"].astype(out.dtype)
+        return out
     w = node["weight"]  # (O, I, 2, 2), torch layout
     phases = [
         (w.sum((2, 3), keepdims=True), ((0, 0), (0, 0))),  # even row, even col

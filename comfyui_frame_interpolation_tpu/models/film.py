@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..ops.warp import warp
 from .common import (
-    cast_params, avg_pool2d, conv2d, conv2x2_up2x, leaky_relu,
+    cast_params, avg_pool2d, conv2d, conv2d_concat, conv2x2_up2x, leaky_relu,
     resize_bilinear, resize_nearest,
 )
 
@@ -87,10 +87,18 @@ def _extract_features(p: Params, image_pyramid: List[Array]) -> List[Array]:
     return feature_pyramid
 
 
+def _conv_cat(p: Params, parts, activation: bool = True) -> Array:
+    """``_conv`` over a virtual channel-concat (see ``conv2d_concat``)."""
+    node = p["0"] if activation else p
+    x = conv2d_concat(parts, node, stride=1, padding="same_torch")
+    return leaky_relu(x, 0.2) if activation else x
+
+
 def _flow_estimator(p: Params, fa: Array, fb: Array, num_convs: int) -> Array:
-    """``FlowEstimator.forward`` (film_arch.py:530-543)."""
-    net = jnp.concatenate([fa, fb], axis=-1)
-    for i in range(num_convs):
+    """``FlowEstimator.forward`` (film_arch.py:530-543). The input concat is
+    virtual: both feature stacks feed the first conv as sliced-weight parts."""
+    net = _conv_cat(p["_convs"]["0"], [fa, fb])
+    for i in range(1, num_convs):
         net = _conv(p["_convs"][str(i)], net, 3)
     net = _conv(p["_convs"][str(num_convs)], net, 1)
     net = _conv(p["_convs"][str(num_convs + 1)], net, 1, activation=False)
@@ -139,28 +147,35 @@ def _flow_pyramid_synthesis(residuals: List[Array]) -> List[Array]:
     return pyramid
 
 
-def _fuse(p: Params, pyramid: List[Array]) -> Array:
+def _fuse(p: Params, pyramid: List[List[Array]]) -> Array:
     """``Fusion.forward`` (film_arch.py:258-292). ``convs[k]`` corresponds to
     level ``n_layers-1-k``; entry 0 is a bare size-2 conv, entries 1-2 are
-    size-3 conv+lrelu."""
-    net = pyramid[-1]
+    size-3 conv+lrelu.
+
+    ``pyramid`` levels arrive as lists of channel PARTS (warped image, warped
+    features, flows — see ``stage_warp``); every concat the reference
+    materializes (``torch.cat`` into 138/394/906/1930-channel tensors,
+    film_arch.py:276) stays virtual here, consumed via sliced-weight part
+    convs (``conv2d_concat``) — identical math, none of the ~2x lane-padding
+    HBM waste those odd widths carry on TPU."""
+    net = pyramid[-1]  # list of parts
     n = len(pyramid) - 1  # == n_layers
     for k in range(n):
         i = n - 1 - k
         layers = p["convs"][str(k)]
-        th, tw = pyramid[i].shape[1:3]
-        if (th, tw) == (2 * net.shape[1], 2 * net.shape[2]):
+        th, tw = pyramid[i][0].shape[1:3]
+        cur_h, cur_w = net[0].shape[1:3]
+        if (th, tw) == (2 * cur_h, 2 * cur_w):
             # exact-2x upsample (always, for 64-multiple-padded inputs):
             # phase-decomposed fused form — 9/16 the MACs, no materialized
             # upsampled tensor (models/common.py:conv2x2_up2x)
-            net = conv2x2_up2x(net, layers["0"])
+            up = conv2x2_up2x(net, layers["0"])
         else:
-            net = resize_nearest(net, (th, tw))
-            net = _conv(layers["0"], net, 2, activation=False)
-        net = jnp.concatenate([pyramid[i], net], axis=-1)
-        net = _conv(layers["1"], net, 3)
-        net = _conv(layers["2"], net, 3)
-    return conv2d(net, p["output_conv"], stride=1, padding=0)
+            net = [resize_nearest(part, (th, tw)) for part in net]
+            up = _conv_cat(layers["0"], net, activation=False)
+        net = [_conv_cat(layers["1"], pyramid[i] + [up])]
+        net = [_conv(layers["2"], net[0], 3)]
+    return conv2d(net[0], p["output_conv"], stride=1, padding=0)
 
 
 def stage_pyramid(x0: Array, x1: Array) -> List[Array]:
@@ -209,35 +224,30 @@ def stage_warp(
     fwd_flow: List[Array],
     bwd_flow: List[Array],
     n: int,
-) -> List[Array]:
+) -> List[List[Array]]:
     """Warp image+feature pyramids by both flow directions and assemble the
-    aligned fusion pyramid (film_arch.py:430-446)."""
-    to_warp0 = [
-        jnp.concatenate([pyr_both[i][:n], feat_both[i][:n]], axis=-1)
-        for i in range(FUSION_PYRAMID_LEVELS)
-    ]
-    to_warp1 = [
-        jnp.concatenate([pyr_both[i][n:], feat_both[i][n:]], axis=-1)
-        for i in range(FUSION_PYRAMID_LEVELS)
-    ]
+    aligned fusion pyramid (film_arch.py:430-446) as channel PARTS.
 
-    # both directions in one batched kernel call per level (exact: images are
-    # independent along the batch axis; halves warp dispatches and compiles)
-    fwd_warped = []
-    bwd_warped = []
-    for f0_, f1_, bf, ff in zip(to_warp0, to_warp1, bwd_flow, fwd_flow):
-        nb = f0_.shape[0]
-        both = warp(
-            jnp.concatenate([f0_, f1_], axis=0),
-            jnp.concatenate([bf, ff], axis=0),
-        )
-        fwd_warped.append(both[:nb])
-        bwd_warped.append(both[nb:])
-
-    return [
-        jnp.concatenate([fw, bw, bf, ff], axis=-1)
-        for fw, bw, bf, ff in zip(fwd_warped, bwd_warped, bwd_flow, fwd_flow)
-    ]
+    The reference concatenates image+features before warping and the two
+    warped directions plus flows after (138/394/906/1930-channel tensors);
+    warping is per-channel independent and the fusion convs consume the
+    concat via sliced weights (``_fuse``), so neither concat is ever
+    materialized. Each level's parts are ``[fw_img, fw_feat, bw_img,
+    bw_feat, bwd_flow, fwd_flow]`` in the reference's channel order. Both
+    directions still ride one batched warp call per tensor (exact: images
+    are independent along the batch axis)."""
+    aligned = []
+    for i in range(FUSION_PYRAMID_LEVELS):
+        bf, ff = bwd_flow[i], fwd_flow[i]
+        flow_both = jnp.concatenate([bf, ff], axis=0)
+        img_both = warp(pyr_both[i], flow_both)
+        feat_bothw = warp(feat_both[i], flow_both)
+        aligned.append([
+            img_both[:n], feat_bothw[:n],
+            img_both[n:], feat_bothw[n:],
+            bf, ff,
+        ])
+    return aligned
 
 
 def stage_fuse(params: Params, aligned: List[Array]) -> Array:
