@@ -620,6 +620,8 @@ def psnr_torch_mode(only=None):
             rec["vs_baseline"] = round(val / 40.0, 3)
         results.append(rec)
         print(json.dumps(rec), flush=True)
+        if not only:
+            _write_psnr_artifact(results)  # incremental: survive timeouts
 
     def _conv(model):
         return to_jax_tree(nest_state_dict(model.state_dict()))
@@ -957,28 +959,36 @@ def psnr_torch_mode(only=None):
                  "image — JAX pieces covered by tests/test_model_parity_momo.py")
 
     if not only:
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "PSNR_TORCH.json"
-        )
-        doc = {
-            "comment": (
-                "Composed end-to-end PSNR gate (bench.py --metric "
-                "psnr_torch): reference torch arch forward on CPU vs the "
-                "FULL TPU node path (Pallas kernels on, per-family padding, "
-                "scheduling) on identical mechanically-converted "
-                "random-seeded weights. BASELINE.md target: >= 40 dB on "
-                "fp32 rows (bf16 rows informational: random weights leave "
-                "bf16 error un-contracted). The 5 headline families run at "
-                "native 540x960; heavier families run on downscaled demo "
-                "frames (resolution per row) chosen to exercise each node's "
-                "padding path. momo: see its row."
-            ),
-            "results": results,
-        }
-        with open(path, "w") as f:
-            json.dump(doc, f, indent=1)
+        path = _write_psnr_artifact(results)
         print(json.dumps({"metric": "psnr_torch_written", "path": path,
                           "rows": len(results)}), flush=True)
+
+
+def _write_psnr_artifact(results):
+    """Write PSNR_TORCH.json (called incrementally after every row: the torch
+    CPU forwards run on this host's single core, so a full 15-family sweep
+    can outlive the battery stage timeout — partial artifacts must survive)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PSNR_TORCH.json"
+    )
+    doc = {
+        "comment": (
+            "Composed end-to-end PSNR gate (bench.py --metric "
+            "psnr_torch): reference torch arch forward on CPU vs the "
+            "FULL TPU node path (Pallas kernels on, per-family padding, "
+            "scheduling) on identical mechanically-converted "
+            "random-seeded weights. BASELINE.md target: >= 40 dB on "
+            "fp32 rows (bf16 rows informational: random weights leave "
+            "bf16 error un-contracted). The 5 headline families run at "
+            "native 540x960; heavier families run on downscaled demo "
+            "frames (resolution per row) chosen to exercise each node's "
+            "padding path. momo: see its row."
+        ),
+        "results": results,
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    return path
 
 
 def _emit(metric, fps, baseline, estimated=False):

@@ -23,7 +23,7 @@ for s in $stages; do
     # keep WARNING lines here: CFI_COMPILE_DIAG's per-computation compile logs
     # (the m2m compile forensics) are emitted at WARNING level
     matrix)     timeout 7200 env CFI_COMPILE_DIAG=1 python bench.py --metric matrix 2>&1 | tee -a "$LOG" ;;
-    psnr)       timeout 3600 python bench.py --metric psnr_torch 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
+    psnr)       timeout 10800 python bench.py --metric psnr_torch 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
     # single-family re-measures (post-optimization rows / transient-error retries)
     amt|xvfi|stmfnet|gmfss|eisai|m2m|momo|sepconv|flavr|cain|atm|ifunet|ifrnet)
                 timeout 2400 python bench.py --metric "$s" 2>&1 | grep -v '^WARNING' | tee -a "$LOG" ;;
