@@ -620,8 +620,7 @@ def psnr_torch_mode(only=None):
             rec["vs_baseline"] = round(val / 40.0, 3)
         results.append(rec)
         print(json.dumps(rec), flush=True)
-        if not only:
-            _write_psnr_artifact(results)  # incremental: survive timeouts
+        _write_psnr_artifact(results)  # incremental + merging: survive timeouts
 
     def _conv(model):
         return to_jax_tree(nest_state_dict(model.state_dict()))
@@ -967,10 +966,24 @@ def psnr_torch_mode(only=None):
 def _write_psnr_artifact(results):
     """Write PSNR_TORCH.json (called incrementally after every row: the torch
     CPU forwards run on this host's single core, so a full 15-family sweep
-    can outlive the battery stage timeout — partial artifacts must survive)."""
+    can outlive the battery stage timeout — partial artifacts must survive).
+
+    MERGES into the existing artifact by metric name (new rows win), so the
+    sweep can run as resumable per-family chunks (``--families a,b``) across
+    tunnel windows and still accumulate the committed 15-family artifact."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "PSNR_TORCH.json"
     )
+    merged = {}
+    try:
+        with open(path) as f:
+            for rec in json.load(f).get("results", []):
+                merged[rec.get("metric")] = rec
+    except Exception:
+        pass
+    for rec in results:
+        merged[rec.get("metric")] = rec
+    results = list(merged.values())
     doc = {
         "comment": (
             "Composed end-to-end PSNR gate (bench.py --metric "
