@@ -1360,7 +1360,16 @@ def slowstages_mode():
             t0 = time.perf_counter()
             jax.block_until_ready(fn(*args))
             compile_s = round(time.perf_counter() - t0, 1)
-            sec = measure(fn, *args, iters=iters)
+            # measure() fences via float(jnp.sum(out)) — scalarize pytree
+            # outputs (eisai's reuse returns a (fwd, bwd) tuple). Unjitted
+            # wrapper: the inner fn stays compiled, the per-leaf sums are a
+            # few ~5 us dispatches against multi-ms calls.
+            def fence(*a):
+                return sum(
+                    jnp.sum(x.astype(jnp.float32))
+                    for x in jax.tree_util.tree_leaves(fn(*a))
+                )
+            sec = measure(fence, *args, iters=iters)
             print(json.dumps({"metric": f"slowstage_{tag}_ms",
                               "value": round(sec * 1e3, 1),
                               "compile_s": compile_s}), flush=True)
@@ -1498,13 +1507,28 @@ def filmstages_mode(batch=2, height=1080, width=1920, iters=5):
     stage_fuse = jax.jit(lambda al: film.stage_fuse(params, al))
     total = jax.jit(lambda a, b: film.apply(params, a, b))
 
-    # realistic intermediates, computed once (device-resident pytrees)
-    pyr = jax.block_until_ready(stage_pyramid(x0, x1))
-    feat = jax.block_until_ready(stage_features(pyr))
-    flows = jax.block_until_ready(stage_flow(feat))
-    aligned = jax.block_until_ready(stage_warp(pyr, feat, *flows))
-    jax.block_until_ready(stage_fuse(aligned))
-    jax.block_until_ready(total(x0, x1))
+    # realistic intermediates, computed once (device-resident pytrees).
+    # Warmups individually guarded: a compile-helper crash on one stage (the
+    # composed `total` is the usual suspect — biggest program) must not lose
+    # the other stages' rows.
+    def _warm(tag, fn, *a):
+        try:
+            return jax.block_until_ready(fn(*a))
+        except Exception as exc:
+            print(json.dumps({"metric": f"filmstage_{tag}_warmup_error",
+                              "error": repr(exc)[:200]}), flush=True)
+            return None
+
+    pyr = _warm("pyramid", stage_pyramid, x0, x1)
+    feat = _warm("features", stage_features, pyr) if pyr is not None else None
+    flows = _warm("flow", stage_flow, feat) if feat is not None else None
+    aligned = (
+        _warm("warp", stage_warp, pyr, feat, *flows)
+        if flows is not None else None
+    )
+    if aligned is not None:
+        _warm("fuse", stage_fuse, aligned)
+    _warm("total", total, x0, x1)
 
     stages = [
         ("pyramid", scalarize(film.stage_pyramid), (x0, x1)),

@@ -232,61 +232,46 @@ def _basic_encoder(p: Params, x: Array) -> Array:
     return conv2d(x, p["conv2"])
 
 
-def _corr_pyramid(f1: Array, f2: Array, num_levels: int = 4):
-    """CorrBlock.__init__ (eisai_arch.py:179-195), FACTORIZED.
-
-    The reference materializes ``corr[i, j] = <f1_i, f2_j>/sqrt(c)`` as a
-    ``[B*H*W, h, w]`` volume and avg-pools it over the target dims. Both the
-    correlation and the pooling are linear in ``f2``, and the later window
-    lookup is a bilinear sample over the target dims — also linear — so the
-    lookup equals sampling the avg-pooled TARGET features and contracting
-    with the query feature (zeros padding commutes: out-of-range taps give a
-    zero feature, hence a zero dot). Beyond the O(HW^2)->O(HW*C) memory win,
-    this fixes the gather LAYOUT for TPU: the volume form gathers with a
-    B*H*W-deep batch dimension (16 K scattered index vectors per level at
-    540p, which XLA lowers catastrophically); the factorized form gathers
-    [B, h, w*taps] windows from a [B, h_l, w_l, C] map — small batch,
-    spatial-minor indices, channels contiguous. Returns (f1_f32, pooled-f2
-    pyramid); correlation math stays f32 like the reference (:188)."""
-    pyr = [f2.astype(jnp.float32)]
+def _corr_pyramid(f1: Array, f2: Array, num_levels: int = 4) -> List[Array]:
+    """CorrBlock.__init__ (eisai_arch.py:179-195): all-pairs correlation as a
+    single batched matmul (MXU-friendly), then an avg-pooled pyramid over the
+    target spatial dims. Returns [B*H1*W1, h2, w2, 1] per level."""
+    b, h, w, c = f1.shape
+    a = f1.reshape(b, h * w, c).astype(jnp.float32)
+    bm = f2.reshape(b, h * w, c).astype(jnp.float32)
+    corr = jnp.einsum("bnc,bmc->bnm", a, bm) / math.sqrt(c)
+    corr = corr.reshape(b * h * w, h, w, 1)
+    pyr = [corr]
     for _ in range(num_levels - 1):
-        pyr.append(avg_pool2d(pyr[-1], 2))
-    return f1.astype(jnp.float32), pyr
+        corr = avg_pool2d(corr, 2)
+        pyr.append(corr)
+    return pyr
 
 
-def _corr_lookup(pyr, coords_xy: Array, radius: int = 4) -> Array:
-    """CorrBlock.__call__ (eisai_arch.py:196-217): a (2r+1)² window around the
-    current correspondence at every pyramid level, via the factorized form
-    (see ``_corr_pyramid``).
+def _corr_lookup(
+    pyr: List[Array], coords_xy: Array, radius: int = 4
+) -> Array:
+    """CorrBlock.__call__ (eisai_arch.py:196-217): sample a (2r+1)² window
+    around the current correspondence at every pyramid level.
 
     coords_xy: [B, H, W, 2] (x, y) pixel coords at 1/8 resolution.
     Returns [B, H, W, levels*(2r+1)²]."""
-    f1, f2_pyr = pyr
-    b, h, w, c = f1.shape
+    b, h, w, _ = coords_xy.shape
+    n = b * h * w
     r = radius
-    n = 2 * r + 1
     # delta: meshgrid(dy, dx) stacked (dy, dx) last (eisai_arch.py:203-205),
     # then added to (x, y) centroids — the reference adds a (dy, dx) delta to
     # (x, y) coords, so dy perturbs x and dx perturbs y; channel 0 stays "x"
     # for the sampler. Reproduced verbatim.
     d = jnp.arange(-r, r + 1, dtype=jnp.float32)
     dy, dx = jnp.meshgrid(d, d, indexing="ij")
-    scale = 1.0 / math.sqrt(c)
     out = []
-    for i, tgt in enumerate(f2_pyr):
-        cen = coords_xy.astype(jnp.float32) / (2**i)  # [B, H, W, 2]
-        rows = []
-        for k in range(n):  # one row of the tap window at a time
-            sx = cen[..., 0:1] + dy[k]  # [B, H, W, n]
-            sy = cen[..., 1:2] + dx[k]
-            sampled = bilinear_sample(
-                tgt,
-                sx.reshape(b, h, w * n),
-                sy.reshape(b, h, w * n),
-                padding_mode="zeros",
-            ).reshape(b, h, w, n, tgt.shape[-1])
-            rows.append(jnp.einsum("bhwkc,bhwc->bhwk", sampled, f1))
-        out.append(jnp.concatenate(rows, axis=-1) * scale)
+    for i, corr in enumerate(pyr):
+        cen = coords_xy.reshape(n, 1, 1, 2).astype(jnp.float32) / (2**i)
+        sx = cen[..., 0] + dy[None]  # [N, 2r+1, 2r+1]
+        sy = cen[..., 1] + dx[None]
+        taps = bilinear_sample(corr, sx, sy, padding_mode="zeros")
+        out.append(taps.reshape(b, h, w, (2 * r + 1) ** 2))
     return jnp.concatenate(out, axis=-1)
 
 
@@ -772,17 +757,10 @@ def make_pair_fns(params: Params, dtype=jnp.float32, iters: int = 12):
     def reuse_fn(f0, f1):
         img0 = f0.astype(dtype)
         img1 = f1.astype(dtype)
-        # both flow directions ride ONE batched RAFT pass (exact: batch items
-        # are independent) — halves the GRU-loop dispatches and doubles the
-        # tiny 540p-RAFT batch for better chip occupancy
-        n = img0.shape[0]
-        both = raft_flow(
-            params["raft"],
-            jnp.concatenate([img0, img1], axis=0),
-            jnp.concatenate([img1, img0], axis=0),
-            iters=iters,
+        return (
+            raft_flow(params["raft"], img0, img1, iters=iters),
+            raft_flow(params["raft"], img1, img0, iters=iters),
         )
-        return both[:n], both[n:]
 
     @jax.jit
     def infer_fn(f0, f1, cache, t):

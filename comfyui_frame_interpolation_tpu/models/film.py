@@ -147,34 +147,88 @@ def _flow_pyramid_synthesis(residuals: List[Array]) -> List[Array]:
     return pyramid
 
 
+def _group_ranges(f_ch: int):
+    """Weight-column ranges of the two GROUPED fusion parts within the
+    reference's concat order ``[fw_img(3), fw_feat(F), bw_img(3), bw_feat(F),
+    bwd_flow(2), fwd_flow(2)]`` (film_arch.py:276): the "smalls" group packs
+    the four narrow parts (10 ch — one lane tile), the "feats" group packs
+    both warped feature stacks (2F ch — lane-aligned, F ∈ {64,128,256,512})."""
+    smalls = [(0, 3), (3 + f_ch, 6 + f_ch),
+              (6 + 2 * f_ch, 8 + 2 * f_ch), (8 + 2 * f_ch, 10 + 2 * f_ch)]
+    feats = [(3, 3 + f_ch), (6 + f_ch, 6 + 2 * f_ch)]
+    return smalls, feats
+
+
+def _wslice(w: Array, ranges) -> Array:
+    """Concatenate weight in-channel column ranges (static; XLA folds it)."""
+    return jnp.concatenate([w[:, s:e] for s, e in ranges], axis=1)
+
+
+def _grouped_nodes(node: Params, f_ch: int, up_ch: int = 0):
+    """Split a fusion conv node's weight into per-group virtual nodes
+    (smalls, feats[, up])."""
+    w = node["weight"]
+    r_smalls, r_feats = _group_ranges(f_ch)
+    nodes = [{"weight": _wslice(w, r_smalls)}, {"weight": _wslice(w, r_feats)}]
+    if up_ch:
+        nodes.append({"weight": w[:, 10 + 2 * f_ch:]})
+        assert w.shape[1] == 10 + 2 * f_ch + up_ch, (w.shape, f_ch, up_ch)
+    else:
+        assert w.shape[1] == 10 + 2 * f_ch, (w.shape, f_ch)
+    return nodes
+
+
 def _fuse(p: Params, pyramid: List[List[Array]]) -> Array:
     """``Fusion.forward`` (film_arch.py:258-292). ``convs[k]`` corresponds to
     level ``n_layers-1-k``; entry 0 is a bare size-2 conv, entries 1-2 are
     size-3 conv+lrelu.
 
-    ``pyramid`` levels arrive as lists of channel PARTS (warped image, warped
-    features, flows — see ``stage_warp``); every concat the reference
-    materializes (``torch.cat`` into 138/394/906/1930-channel tensors,
-    film_arch.py:276) stays virtual here, consumed via sliced-weight part
-    convs (``conv2d_concat``) — identical math, none of the ~2x lane-padding
-    HBM waste those odd widths carry on TPU."""
-    net = pyramid[-1]  # list of parts
+    ``pyramid`` levels arrive as the two GROUPED channel parts built by
+    ``stage_warp`` (``[smalls(10), feats(2F)]``): the reference's materialized
+    138/394/906/1930-channel concats (film_arch.py:276) — whose odd widths pay
+    ~2x lane-padding HBM waste on TPU — are consumed as two aligned parts via
+    statically sliced weights (identical math up to fp summation order). The
+    earlier fully-virtual 6-part form was numerically identical too but
+    tripled the fusion conv op count, which pushed the composed 1080p/batch-4
+    program past the remote compile helper's limits (HTTP 500)."""
+    net = pyramid[-1]  # grouped [smalls, feats]; single-tensor list after k=0
     n = len(pyramid) - 1  # == n_layers
     for k in range(n):
         i = n - 1 - k
         layers = p["convs"][str(k)]
         th, tw = pyramid[i][0].shape[1:3]
         cur_h, cur_w = net[0].shape[1:3]
+        if len(net) == 2:  # first iteration: net is the grouped coarsest level
+            pairs = list(zip(net, _grouped_nodes(
+                layers["0"], net[1].shape[-1] // 2
+            )))
+        else:
+            pairs = [(net[0], {"weight": layers["0"]["weight"]})]
         if (th, tw) == (2 * cur_h, 2 * cur_w):
             # exact-2x upsample (always, for 64-multiple-padded inputs):
             # phase-decomposed fused form — 9/16 the MACs, no materialized
             # upsampled tensor (models/common.py:conv2x2_up2x)
-            up = conv2x2_up2x(net, layers["0"])
+            ups = [conv2x2_up2x(x, nd) for x, nd in pairs]
         else:
-            net = [resize_nearest(part, (th, tw)) for part in net]
-            up = _conv_cat(layers["0"], net, activation=False)
-        net = [_conv_cat(layers["1"], pyramid[i] + [up])]
-        net = [_conv(layers["2"], net[0], 3)]
+            ups = [
+                conv2d(resize_nearest(x, (th, tw)), nd, stride=1,
+                       padding="same_torch")
+                for x, nd in pairs
+            ]
+        up = ups[0] if len(ups) == 1 else ups[0] + ups[1]
+        if layers["0"].get("bias") is not None:
+            up = up + layers["0"]["bias"].astype(up.dtype)
+        nodes = _grouped_nodes(
+            layers["1"]["0"], pyramid[i][1].shape[-1] // 2, up.shape[-1]
+        )
+        y = (
+            conv2d(pyramid[i][0], nodes[0], stride=1, padding="same_torch")
+            + conv2d(pyramid[i][1], nodes[1], stride=1, padding="same_torch")
+            + conv2d(up, nodes[2], stride=1, padding="same_torch")
+        )
+        if layers["1"]["0"].get("bias") is not None:
+            y = y + layers["1"]["0"]["bias"].astype(y.dtype)
+        net = [_conv(layers["2"], leaky_relu(y, 0.2), 3)]
     return conv2d(net[0], p["output_conv"], stride=1, padding=0)
 
 
@@ -229,23 +283,28 @@ def stage_warp(
     aligned fusion pyramid (film_arch.py:430-446) as channel PARTS.
 
     The reference concatenates image+features before warping and the two
-    warped directions plus flows after (138/394/906/1930-channel tensors);
-    warping is per-channel independent and the fusion convs consume the
-    concat via sliced weights (``_fuse``), so neither concat is ever
-    materialized. Each level's parts are ``[fw_img, fw_feat, bw_img,
-    bw_feat, bwd_flow, fwd_flow]`` in the reference's channel order. Both
-    directions still ride one batched warp call per tensor (exact: images
-    are independent along the batch axis)."""
+    warped directions plus flows after, into odd-width tensors
+    (138/394/906/1930 ch) that pay ~2x lane-padding HBM waste on TPU; warping
+    is per-channel independent, so the warps run on the natural parts and the
+    fusion convs consume TWO aligned groups via statically sliced weights
+    (``_fuse``/``_group_ranges``): ``smalls`` = [fw_img(3), bw_img(3),
+    bwd_flow(2), fwd_flow(2)] (10 ch — one lane tile) and ``feats`` =
+    [fw_feat(F), bw_feat(F)] (2F ch — lane-aligned). Both directions still
+    ride one batched warp call per tensor (exact: images are independent
+    along the batch axis)."""
     aligned = []
     for i in range(FUSION_PYRAMID_LEVELS):
         bf, ff = bwd_flow[i], fwd_flow[i]
         flow_both = jnp.concatenate([bf, ff], axis=0)
         img_both = warp(pyr_both[i], flow_both)
         feat_bothw = warp(feat_both[i], flow_both)
+        dt = img_both.dtype
         aligned.append([
-            img_both[:n], feat_bothw[:n],
-            img_both[n:], feat_bothw[n:],
-            bf, ff,
+            jnp.concatenate(
+                [img_both[:n], img_both[n:],
+                 bf.astype(dt), ff.astype(dt)], axis=-1,
+            ),
+            jnp.concatenate([feat_bothw[:n], feat_bothw[n:]], axis=-1),
         ])
     return aligned
 

@@ -535,16 +535,8 @@ def reuse(params: Params, img0: Array, img1: Array, scale: float = 1.0):
         f1 = resize_by_scale(img1h, scale)
     else:
         f0, f1 = img0h, img1h
-    # both directions ride ONE batched GMFlow pass (exact: batch items are
-    # independent) — halves transformer/matching dispatches, doubles the
-    # half-res batch for better MXU occupancy
-    n = f0.shape[0]
-    both = _gmflow(
-        params["flownet"],
-        jnp.concatenate([f0, f1], axis=0),
-        jnp.concatenate([f1, f0], axis=0),
-    )
-    flow01, flow10 = both[:n], both[n:]
+    flow01 = _gmflow(params["flownet"], f0, f1)
+    flow10 = _gmflow(params["flownet"], f1, f0)
     if scale != 1.0:
         flow01 = resize_by_scale(flow01, 1.0 / scale) / scale
         flow10 = resize_by_scale(flow10, 1.0 / scale) / scale

@@ -946,23 +946,26 @@ def warp_pallas_tiered(img: Array, flow: Array, zeros: bool = False) -> Array:
 
     Dispatch between the two bulk kernels: the MXU rows-layout kernel
     (``_warp_kernel_rows_mxu``) amortizes its per-tile one-hot builds over
-    all channels of a chunk, so it targets WIDE bf16 features (measured on
-    v5e: c=7 slightly slower than the diagonal kernel); f32 stays on the
-    lane-crossbar diagonal kernel regardless (its MXU matmul is a bf16x3
-    decomposition — not bit-exact). ``CFI_WARP_MXU``: ``0`` (current
-    default — flips to ``auto`` once the wide-channel win is re-measured
-    on hardware) never uses it; ``auto`` uses it for bf16 c>=16; ``force``
-    always (kernel A/B testing)."""
+    all channels of a chunk, so it targets WIDE bf16 features; f32 stays on
+    the lane-crossbar diagonal kernel regardless (its MXU matmul is a bf16x3
+    decomposition — not bit-exact).
+
+    ``CFI_WARP_MXU``: ``auto`` (default) uses the rows kernel for bf16 c>=5 —
+    the measured crossover (v5e, bench --metric warpshapes, r4 battery):
+    diag wins c=3 (115 vs 162 ms at 16x1088x1920), rows wins c=7 (171 vs
+    219) through c=192 (299 vs 467 at 8x540x960); c>=256 never reaches here
+    (ops.warp routes it to the XLA gather path, which wins that regime).
+    ``0`` never uses it; ``force`` always (kernel A/B testing)."""
     import os
 
-    env = os.environ.get("CFI_WARP_MXU", "0")
+    env = os.environ.get("CFI_WARP_MXU", "auto")
     b, h, w, c = img.shape
     if env == "0":
         mxu = False
     elif env == "force":
         mxu = True
     else:
-        mxu = c >= 16 and jnp.dtype(img.dtype).itemsize <= 2
+        mxu = c >= 5 and jnp.dtype(img.dtype).itemsize <= 2
     # pad the bottom by the bulk kernel's diagonal reach so window bases for
     # the last tile rows are never clipped (see _diag_bases_fits /
     # _rows_bases_fits — the unaligned rows path needs the full win_h); edge

@@ -144,9 +144,17 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
     bilinear, align_corners=True + border padding (the normalization of the grid by
     ``(size-1)/2`` cancels, so the semantics reduce to pixel-space offsets).
 
-    On TPU, border-mode warps of reasonably sized images dispatch to the Pallas
-    windowed-gather kernel (~8x faster than the XLA gather lowering); everything
-    else uses the exact XLA path.
+    On TPU, border/zeros warps of reasonably sized images dispatch to the
+    Pallas windowed-gather kernels; everything else uses the exact XLA path.
+
+    Channel-count routing (measured, v5e, bench --metric warpshapes r4):
+    XLA's gather lowering is near-scalar for thin tensors (2.2 s for
+    16x1088x1920x3 vs 115 ms Pallas diag) but becomes DMA-efficient once the
+    per-pixel channel slice is wide and contiguous — at C=448 (270x480) and
+    C=960 (135x240) XLA beats both Pallas variants by ~1.2x, so C >= 256
+    stays on the XLA path. Below that, ``warp_pallas_tiered`` picks between
+    the diagonal lane-crossbar kernel and the rows-layout MXU kernel (see
+    ``CFI_WARP_MXU``).
     """
     h, w = img.shape[1], img.shape[2]
     if (
@@ -155,6 +163,7 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
         and h >= 64
         and w >= 128
         and h * w >= 128 * 128
+        and img.shape[3] < 256
     ):
         from .pallas.warp_kernel import warp_pallas_tiered
 
