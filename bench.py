@@ -143,7 +143,12 @@ def _load_ref(relpath, name):
     return mod
 
 
-def bench_film(batch=4):
+def bench_film(batch=2):
+    # batch=2, not 4: the composed 1080p batch-4 FILM program crashes the
+    # axon remote compile helper (HTTP 500, subprocess exit 1) in every r4
+    # attempt — before AND after the grouped-parts op-count reduction — while
+    # batch 2 compiles and measures (batchsweep r4: b2 2.96 f/s; rife showed
+    # b8 == b16 throughput, so the batch-4 penalty is small).
     from comfyui_frame_interpolation_tpu.models import film
 
     def build():

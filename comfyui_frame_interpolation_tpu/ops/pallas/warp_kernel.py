@@ -950,15 +950,22 @@ def warp_pallas_tiered(img: Array, flow: Array, zeros: bool = False) -> Array:
     the lane-crossbar diagonal kernel regardless (its MXU matmul is a bf16x3
     decomposition — not bit-exact).
 
-    ``CFI_WARP_MXU``: ``auto`` (default) uses the rows kernel for bf16 c>=5 —
-    the measured crossover (v5e, bench --metric warpshapes, r4 battery):
-    diag wins c=3 (115 vs 162 ms at 16x1088x1920), rows wins c=7 (171 vs
-    219) through c=192 (299 vs 467 at 8x540x960); c>=256 never reaches here
-    (ops.warp routes it to the XLA gather path, which wins that regime).
-    ``0`` never uses it; ``force`` always (kernel A/B testing)."""
+    ``CFI_WARP_MXU``: ``0`` (default) never uses the rows kernel; ``auto``
+    uses it for bf16 c>=5; ``force`` always (kernel A/B testing).
+
+    Measured history (v5e): the r4 `warpshapes` A/B — which drives SYNTHETIC
+    rough flows — showed rows winning every bf16 c>=5 shape (c7: 171 vs 219
+    ms; c64 1080p: 416 vs 995), and flipping the default to `auto` on that
+    data collapsed the real RIFE headline 28.4 -> 12.5 f/s. Root cause: the
+    diagonal kernel's cost scales with per-tile flow VARIATION (diagonals
+    touched), so synthetic rough flows are its worst case, while the rows
+    kernel's one-hot-matmul cost is flow-independent. Real model flows are
+    locally smooth — diag wins there by >2x. The rows kernel stays for A/B
+    and as the escape hatch for genuinely rough-flow workloads; `warpshapes`
+    numbers must not be read as real-flow rankings."""
     import os
 
-    env = os.environ.get("CFI_WARP_MXU", "auto")
+    env = os.environ.get("CFI_WARP_MXU", "0")
     b, h, w, c = img.shape
     if env == "0":
         mxu = False

@@ -147,14 +147,14 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
     On TPU, border/zeros warps of reasonably sized images dispatch to the
     Pallas windowed-gather kernels; everything else uses the exact XLA path.
 
-    Channel-count routing (measured, v5e, bench --metric warpshapes r4):
-    XLA's gather lowering is near-scalar for thin tensors (2.2 s for
-    16x1088x1920x3 vs 115 ms Pallas diag) but becomes DMA-efficient once the
-    per-pixel channel slice is wide and contiguous — at C=448 (270x480) and
-    C=960 (135x240) XLA beats both Pallas variants by ~1.2x, so C >= 256
-    stays on the XLA path. Below that, ``warp_pallas_tiered`` picks between
-    the diagonal lane-crossbar kernel and the rows-layout MXU kernel (see
-    ``CFI_WARP_MXU``).
+    Routing note: the r4 `warpshapes` A/B suggested XLA's gather wins for
+    C >= 256 (its per-pixel channel slices are wide contiguous copies), but
+    that harness drives synthetic ROUGH flows — the Pallas diagonal kernel's
+    worst case (cost scales with per-tile flow variation) — and acting on the
+    same data for the rows kernel collapsed the real RIFE headline 2.3x. XLA
+    gather cost is flow-independent; real model flows are smooth, where diag
+    measured >2x under its synthetic numbers. So all supported shapes stay on
+    the Pallas path until a smooth-flow A/B says otherwise.
     """
     h, w = img.shape[1], img.shape[2]
     if (
@@ -163,7 +163,6 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
         and h >= 64
         and w >= 128
         and h * w >= 128 * 128
-        and img.shape[3] < 256
     ):
         from .pallas.warp_kernel import warp_pallas_tiered
 
