@@ -1484,6 +1484,82 @@ def slowstages_mode():
                       "value": round(fps, 2)}), flush=True)
 
 
+def gmfssstages_mode():
+    """Attribution INSIDE GMFSS's infer half: r4 slowstages measured reuse at
+    325 ms vs infer at 3603 ms (1080p b1), and forcing the banded splat only
+    moved the composed number 0.25 -> 0.28 f/s — so the splat-residual
+    artifact is NOT the dominator. This times the infer sub-stages (the 10
+    soft splats + head assembly vs the GridNet fusion) standalone over
+    realistic intermediates, like filmstages does for FILM."""
+    import time
+
+    from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+
+    _tests_dir_importable()
+    import torch
+
+    import test_model_parity_gmfss as G
+    from conftest import load_reference_module
+
+    from comfyui_frame_interpolation_tpu.models import gmfss
+    from comfyui_frame_interpolation_tpu.models.common import cast_params
+
+    G._setup_pkgs()
+    arch = load_reference_module(
+        "vfi_models/gmfss_fortuna/GMFSS_Fortuna_arch.py", "gs_gmfss_arch"
+    )
+    torch.manual_seed(0)
+    gparams = cast_params(G._params_from(arch.Model()), jnp.bfloat16)
+    f0 = _rand_frames(1, 1080, 1920, 0).astype(jnp.bfloat16)
+    f1 = _rand_frames(1, 1080, 1920, 1).astype(jnp.bfloat16)
+    # pad like gmfss.apply does (tmp=64)
+    f0 = jnp.pad(f0, ((0, 0), (0, 8), (0, 0), (0, 0)))
+    f1 = jnp.pad(f1, ((0, 0), (0, 8), (0, 0), (0, 0)))
+    t = jnp.full((1,), 0.5, jnp.bfloat16)
+
+    reuse_j = jax.jit(lambda a, b: gmfss.reuse(gparams, a, b))
+    splat_j = jax.jit(
+        lambda a, b, r, tt: gmfss._splat_head(gparams, a, b, r, tt)[:4]
+    )
+    grid_j = jax.jit(
+        lambda h, x1, x2, x3: gmfss._gridnet(
+            gparams["fusionnet"], h, x1, x2, x3, "residual_model_head"
+        )
+    )
+    infer_j = jax.jit(
+        lambda a, b, r, tt: gmfss.inference(gparams, a, b, r, tt)
+    )
+
+    def timed(tag, fn, *args, iters=3):
+        try:
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(fn(*args))
+            compile_s = round(time.perf_counter() - t0, 1)
+
+            def fence(*a):
+                return sum(
+                    jnp.sum(x.astype(jnp.float32))
+                    for x in jax.tree_util.tree_leaves(fn(*a))
+                )
+            sec = measure(fence, *args, iters=iters)
+            print(json.dumps({"metric": f"gmfssstage_{tag}_ms",
+                              "value": round(sec * 1e3, 1),
+                              "compile_s": compile_s}), flush=True)
+            return out
+        except Exception as exc:
+            print(json.dumps({"metric": f"gmfssstage_{tag}_error",
+                              "error": repr(exc)[:250]}), flush=True)
+            return None
+
+    cache = timed("reuse", reuse_j, f0, f1)
+    if cache is None:
+        return
+    head = timed("splats", splat_j, f0, f1, cache, t)
+    if head is not None:
+        timed("gridnet", grid_j, *head)
+    timed("infer_total", infer_j, f0, f1, cache, t)
+
+
 def filmstages_mode(batch=2, height=1080, width=1920, iters=5):
     """Per-stage on-chip timing of FILM's forward (pyramid / features / flow /
     warp / fuse), plus the composed total — the forensics that localizes the
@@ -1602,7 +1678,8 @@ def main():
     ap.add_argument(
         "--metric", default="rife",
         choices=["rife", "psnr", "psnr_torch", "all", "matrix", "warpshapes",
-                 "batchsweep", "filmstages", "gridprobe", "slowstages"]
+                 "batchsweep", "filmstages", "gridprobe", "slowstages",
+                 "gmfssstages"]
         + sorted(_RES),
     )
     ap.add_argument(
@@ -1637,6 +1714,9 @@ def main():
         return
     if args.metric == "slowstages":
         slowstages_mode()
+        return
+    if args.metric == "gmfssstages":
+        gmfssstages_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]

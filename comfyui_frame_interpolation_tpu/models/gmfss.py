@@ -554,6 +554,21 @@ def inference(
     union: bool = False,
 ) -> Array:
     """Model.inference (lines 1779-1849; union diff for the fusion head)."""
+    head, x1, x2, x3, head_key = _splat_head(
+        params, img0, img1, reuse_out, timestep, union=union
+    )
+    out = _gridnet(params["fusionnet"], head, x1, x2, x3, head_key)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def _splat_head(
+    params: Params, img0: Array, img1: Array, reuse_out, timestep,
+    union: bool = False,
+):
+    """The splat half of ``Model.inference``: forward-splat images and the
+    3-scale feature pyramids to time t and assemble the GridNet inputs
+    (everything before the fusion GridNet — split out so the stage bench can
+    time splats vs fusion separately)."""
     flow01, flow10, metric0, metric1, feat1, feat2 = reuse_out
     t = jnp.asarray(timestep, img0.dtype).reshape(-1, 1, 1, 1)
 
@@ -595,15 +610,13 @@ def inference(
         head = jnp.concatenate([img0h, i1t, i2t, img1h], axis=-1)
         head_key = "residual_model_head"
 
-    out = _gridnet(
-        params["fusionnet"],
+    return (
         head,
         jnp.concatenate([feat1t1, feat2t1], -1),
         jnp.concatenate([feat1t2, feat2t2], -1),
         jnp.concatenate([feat1t3, feat2t3], -1),
         head_key,
     )
-    return jnp.clip(out, 0.0, 1.0)
 
 
 def apply(
