@@ -1559,6 +1559,24 @@ def gmfssstages_mode():
         timed("gridnet", grid_j, *head)
     timed("infer_total", infer_j, f0, f1, cache, t)
 
+    # Random weights make GMFlow emit rough/out-of-band flows — the splat
+    # kernel's worst case (pre-block-skip) or near-free case (post-skip, all
+    # sources dropped under forced pallas). Neither is the real-checkpoint
+    # cost. Re-time the splat half with the cache's flows replaced by a
+    # SMOOTH in-band field (~24 px magnitude, low-frequency), the regime real
+    # weights produce: this is the honest per-frame splat estimate.
+    fb, fh, fw = cache[0].shape[:3]
+    yy = jnp.linspace(0.0, 2.0 * jnp.pi, fh)[None, :, None]
+    xx = jnp.linspace(0.0, 2.0 * jnp.pi, fw)[None, None, :]
+    fx = 24.0 * jnp.sin(xx + 2 * yy) * jnp.cos(yy)
+    fy = 18.0 * jnp.cos(2 * xx - yy) * jnp.sin(yy)
+    smooth = jnp.broadcast_to(
+        jnp.stack([fx, fy], -1), (fb, fh, fw, 2)
+    ).astype(cache[0].dtype)
+    cache_s = (smooth, -smooth) + tuple(cache[2:])
+    timed("splats_smoothflow", splat_j, f0, f1, cache_s, t)
+    timed("infer_total_smoothflow", infer_j, f0, f1, cache_s, t)
+
 
 def filmstages_mode(batch=2, height=1080, width=1920, iters=5):
     """Per-stage on-chip timing of FILM's forward (pyramid / features / flow /

@@ -259,19 +259,30 @@ def _corr_lookup(
     b, h, w, _ = coords_xy.shape
     n = b * h * w
     r = radius
-    # delta: meshgrid(dy, dx) stacked (dy, dx) last (eisai_arch.py:203-205),
-    # then added to (x, y) centroids — the reference adds a (dy, dx) delta to
-    # (x, y) coords, so dy perturbs x and dx perturbs y; channel 0 stays "x"
-    # for the sampler. Reproduced verbatim.
+    nt = 2 * r + 1
+    # delta semantics (eisai_arch.py:203-205): meshgrid(dy, dx, 'ij') added to
+    # (x, y) centroids — the reference adds a (dy, dx) delta to (x, y), so
+    # tap (i, j) samples at x = cx + d[i], y = cy + d[j]. The window is
+    # SEPARABLE in (i, j), and bilinear sampling with zeros padding is a tent
+    # weight over each axis independently, so the whole 81-tap lookup is two
+    # tiny batched matmuls against tent-weight matrices — no gather at all
+    # (XLA lowers a B*H*W-deep batched gather catastrophically on TPU; this
+    # was the dominant cost of the RAFT iteration, ~518 ms/iter at 540p b2).
+    # Out-of-range taps get all-zero tent weights = zeros-padding semantics.
     d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(d, d, indexing="ij")
     out = []
     for i, corr in enumerate(pyr):
-        cen = coords_xy.reshape(n, 1, 1, 2).astype(jnp.float32) / (2**i)
-        sx = cen[..., 0] + dy[None]  # [N, 2r+1, 2r+1]
-        sy = cen[..., 1] + dx[None]
-        taps = bilinear_sample(corr, sx, sy, padding_mode="zeros")
-        out.append(taps.reshape(b, h, w, (2 * r + 1) ** 2))
+        h2, w2 = corr.shape[1:3]
+        cen = coords_xy.reshape(n, 2).astype(jnp.float32) / (2**i)
+        sx = cen[:, 0:1] + d[None]  # [N, nt]
+        sy = cen[:, 1:2] + d[None]
+        yg = jnp.arange(h2, dtype=jnp.float32)
+        xg = jnp.arange(w2, dtype=jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] - yg))  # [N,nt,h2]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - xg))  # [N,nt,w2]
+        tmp = jnp.einsum("njh,nhw->njw", wy, corr[..., 0])
+        taps = jnp.einsum("niw,njw->nij", wx, tmp)  # [N, nt(i), nt(j)]
+        out.append(taps.reshape(b, h, w, nt * nt))
     return jnp.concatenate(out, axis=-1)
 
 

@@ -370,6 +370,7 @@ def _splat_kernel_stacked(
     win_ref,  # VMEM scratch [2, C, WIN_H, WIN_W]
     fwin_ref,  # VMEM scratch [2, 2, WIN_H, WIN_W] float32
     sem,
+    acc_ref,  # VMEM scratch [C, 8, 128] float32 step accumulator
     *,
     h: int,
     w: int,
@@ -468,7 +469,8 @@ def _splat_kernel_stacked(
         iota_l = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
         iota_s = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
 
-        accs = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(c)]
+        for ch in range(c):
+            acc_ref[ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         for grp in range(n_groups):
             r0 = grp * TILE_H
             for ci in range(n_chunks):
@@ -488,72 +490,92 @@ def _splat_kernel_stacked(
                 bad = bad | ~(
                     (fy >= lo_y) & (fy < hi_y) & (fx >= lo_x) & (fx < hi_x)
                 )
-                tx = jnp.where(bad, -1e9, tx)
-                ty = jnp.where(bad, -1e9, ty)
-                y0 = jnp.floor(ty)
-                wy1 = ty - y0
-                ly = y0.astype(jnp.int32) - ty0
-                fy0v = (y0 >= 0) & (y0 <= h - 1)
-                fy1v = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+                # block-level skip: a source contributes to THIS output tile
+                # only if a bilinear tap lands inside it. Real flows are
+                # locally smooth, so for most (window block, tile) pairs no
+                # source hits the tile and the whole one-hot/matmul pass is
+                # dead work — the dominant cost at production shapes. The
+                # test is exact-or-conservative (tap-weight-0 edges included)
+                # so skipping cannot change the result.
+                hit = ~bad
+                hit &= (tx >= tx0 - 1.0) & (tx < tx0 + TILE_W)
+                hit &= (ty >= ty0 - 1.0) & (ty < ty0 + TILE_H)
 
-                txT = jnp.transpose(tx)  # [128, 8]
-                n_iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (TILE_W, TILE_W), 1
-                )
-                vals = [
-                    win_ref[
-                        slot, ch, r0 : r0 + TILE_H, c0 : c0 + TILE_W
-                    ].astype(jnp.float32)
-                    for ch in range(c)
-                ]
-                for rr in range(TILE_H):
-                    tx_col = jax.lax.broadcast_in_dim(
-                        txT[:, rr : rr + 1], (TILE_W, TILE_W), (0, 1)
-                    )
-                    x0_col = jnp.floor(tx_col)
-                    wx1_col = tx_col - x0_col
-                    lx_col = x0_col.astype(jnp.int32) - tx0
-                    vx0_col = (x0_col >= 0) & (x0_col <= w - 1)
-                    vx1_col = (x0_col + 1 >= 0) & (x0_col + 1 <= w - 1)
-                    slab = jnp.where(
-                        (lx_col == n_iota) & vx0_col, 1.0 - wx1_col, 0.0
-                    ) + jnp.where(
-                        (lx_col + 1 == n_iota) & vx1_col, wx1_col, 0.0
-                    )
+                @pl.when(jnp.any(hit))
+                def _(tx=tx, ty=ty, bad=bad, r0=r0, c0=c0):
+                    tx = jnp.where(bad, -1e9, tx)
+                    ty = jnp.where(bad, -1e9, ty)
+                    y0 = jnp.floor(ty)
+                    wy1 = ty - y0
+                    ly = y0.astype(jnp.int32) - ty0
+                    fy0v = (y0 >= 0) & (y0 <= h - 1)
+                    fy1v = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
 
-                    ly_r = jax.lax.broadcast_in_dim(
-                        ly[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                    txT = jnp.transpose(tx)  # [128, 8]
+                    n_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (TILE_W, TILE_W), 1
                     )
-                    wy1_r = jax.lax.broadcast_in_dim(
-                        wy1[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
-                    )
-                    vy0_r = jax.lax.broadcast_in_dim(
-                        fy0v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
-                    )
-                    vy1_r = jax.lax.broadcast_in_dim(
-                        fy1v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
-                    )
-                    ymask = jnp.where(
-                        (ly_r == iota_s) & vy0_r, 1.0 - wy1_r, 0.0
-                    ) + jnp.where((ly_r + 1 == iota_s) & vy1_r, wy1_r, 0.0)
+                    vals = [
+                        win_ref[
+                            slot, ch, r0 : r0 + TILE_H, c0 : c0 + TILE_W
+                        ].astype(jnp.float32)
+                        for ch in range(c)
+                    ]
+                    accs = [
+                        jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                        for _ in range(c)
+                    ]
+                    for rr in range(TILE_H):
+                        tx_col = jax.lax.broadcast_in_dim(
+                            txT[:, rr : rr + 1], (TILE_W, TILE_W), (0, 1)
+                        )
+                        x0_col = jnp.floor(tx_col)
+                        wx1_col = tx_col - x0_col
+                        lx_col = x0_col.astype(jnp.int32) - tx0
+                        vx0_col = (x0_col >= 0) & (x0_col <= w - 1)
+                        vx1_col = (x0_col + 1 >= 0) & (x0_col + 1 <= w - 1)
+                        slab = jnp.where(
+                            (lx_col == n_iota) & vx0_col, 1.0 - wx1_col, 0.0
+                        ) + jnp.where(
+                            (lx_col + 1 == n_iota) & vx1_col, wx1_col, 0.0
+                        )
+
+                        ly_r = jax.lax.broadcast_in_dim(
+                            ly[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                        )
+                        wy1_r = jax.lax.broadcast_in_dim(
+                            wy1[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                        )
+                        vy0_r = jax.lax.broadcast_in_dim(
+                            fy0v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                        )
+                        vy1_r = jax.lax.broadcast_in_dim(
+                            fy1v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
+                        )
+                        ymask = jnp.where(
+                            (ly_r == iota_s) & vy0_r, 1.0 - wy1_r, 0.0
+                        ) + jnp.where((ly_r + 1 == iota_s) & vy1_r, wy1_r, 0.0)
+                        for ch in range(c):
+                            val_r = jax.lax.broadcast_in_dim(
+                                vals[ch][rr : rr + 1, :],
+                                (TILE_H, TILE_W), (0, 1),
+                            )
+                            accs[ch] = accs[ch] + jnp.dot(
+                                ymask * val_r, slab,
+                                preferred_element_type=jnp.float32,
+                            )
                     for ch in range(c):
-                        val_r = jax.lax.broadcast_in_dim(
-                            vals[ch][rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
-                        )
-                        accs[ch] = accs[ch] + jnp.dot(
-                            ymask * val_r, slab,
-                            preferred_element_type=jnp.float32,
-                        )
+                        acc_ref[ch] = acc_ref[ch] + accs[ch]
 
         @pl.when(k == 0)
         def _():
             for ch in range(c):
-                out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
+                out_ref[0, ch] = acc_ref[ch].astype(out_ref.dtype)
 
         @pl.when(k > 0)
         def _():
             for ch in range(c):
-                out_ref[0, ch] = out_ref[0, ch] + accs[ch].astype(
+                out_ref[0, ch] = out_ref[0, ch] + acc_ref[ch].astype(
                     out_ref.dtype
                 )
 
@@ -596,6 +618,7 @@ def softsplat_pallas_stacked(
             pltpu.VMEM((2, c, win_h, win_w), vals.dtype),
             pltpu.VMEM((2, 2, win_h, win_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((c, TILE_H, TILE_W), jnp.float32),
         ],
     )
     return pl.pallas_call(
