@@ -863,7 +863,17 @@ def psnr_torch_mode(only=None):
         )
 
     def _atm_fwd(m, ts):
-        # reference atm/__init__.py:62-70: centered /64 replicate pad
+        # reference atm/__init__.py:62-70: centered /64 replicate pad.
+        # That module imports vfi_utils at top level — stub it (the r4
+        # battery hit this when atm ran in a chunk without stmfnet/amt,
+        # whose builders install the stub as a side effect).
+        import types
+
+        if "vfi_utils" not in sys.modules:
+            vu = types.ModuleType("vfi_utils")
+            vu.get_ckpt_container_path = lambda mt: "/tmp/ckpts"
+            vu.load_file_from_github_release = lambda *a, **k: None
+            sys.modules["vfi_utils"] = vu
         arch = _load_ref("vfi_models/atm/__init__.py", "pt_atm_init")
         padder = arch.InputPadder(ts[0].shape, divisor=64)
         x0, x1 = padder.pad(ts[0], ts[1])

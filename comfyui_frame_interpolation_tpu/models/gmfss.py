@@ -232,13 +232,28 @@ def _local_corr_softmax(f0: Array, f1: Array, r: int) -> Array:
     coords = _coords_grid(b, h, w, f0.dtype)  # [B,H,W,2]
     dx, dy = np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1))
     # reference window grid ordering: row-major over (dy, dx)
-    offs = np.stack([dx, dy], -1).reshape(-1, 2).astype(np.float32)  # [(2r+1)^2, 2]
-    sample = coords[:, :, :, None, :] + jnp.asarray(offs)[None, None, None]
+    offs = np.stack([dx, dy], -1).reshape(-1, 2)  # [(2r+1)^2, 2] int
+    # every sample point is integer-grid + integer offset, so the "bilinear
+    # sample" is a pure shifted-window read: zero-pad f1 by r and take one
+    # static slice per offset (XLA fuses the 81 mul-reduces; the previous
+    # [B, H*W, 81]-indexed gather is the layout XLA lowers worst on TPU)
+    f1p = jnp.pad(f1, ((0, 0), (r, r), (r, r), (0, 0)))
+    corr = jnp.stack(
+        [
+            jnp.sum(
+                f0 * f1p[:, r + oy : r + oy + h, r + ox : r + ox + w, :],
+                axis=-1,
+            )
+            for ox, oy in offs
+        ],
+        axis=-1,
+    ).reshape(b, h * w, n * n) / math.sqrt(c)
+    sample = coords[:, :, :, None, :] + jnp.asarray(
+        offs.astype(np.float32)
+    )[None, None, None]
     sx = sample[..., 0].reshape(b, h * w, n * n)
     sy = sample[..., 1].reshape(b, h * w, n * n)
     valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
-    win = bilinear_sample(f1, sx, sy, padding_mode="zeros")  # [B, HW, n*n, C]
-    corr = jnp.einsum("bpc,bpkc->bpk", f0.reshape(b, -1, c), win) / math.sqrt(c)
     corr = jnp.where(valid, corr, -1e9)
     prob = jax.nn.softmax(corr, axis=-1)
     corresp = jnp.einsum(
