@@ -660,7 +660,9 @@ def psnr_torch_mode(only=None):
             torch.manual_seed(0)
             model = build()
             if hasattr(model, "eval"):
-                model = model.eval()
+                # GMFSS's Model.eval() evals its submodules and returns None
+                # (GMFSS_Fortuna_arch.py:1699-1703) — keep the model then
+                model = model.eval() or model
             ts = [
                 torch.from_numpy(f.transpose(2, 0, 1)).unsqueeze(0)
                 for f in frames
@@ -953,6 +955,19 @@ def psnr_torch_mode(only=None):
         _install_torchvision_stub()
         _install_cv2_stub()
         torch.Tensor.cuda = lambda self, *a, **k: self
+        # eisai_arch's softsplat wrapper hops CPU tensors to the GPU with
+        # .to("cuda") (eisai_arch.py:1036-1040) — neutralize on CPU-only torch
+        orig_to = torch.Tensor.to
+
+        def _to(self, *args, **kwargs):
+            if args and (
+                args[0] == "cuda"
+                or (isinstance(args[0], torch.device) and args[0].type == "cuda")
+            ):
+                return self
+            return orig_to(self, *args, **kwargs)
+
+        torch.Tensor.to = _to
         ref = _load_ref("vfi_models/eisai/eisai_arch.py", "pt_eisai")
         return (
             ref.RAFT(None).eval(), ref.SoftsplatLite().eval(),

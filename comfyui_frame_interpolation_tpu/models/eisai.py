@@ -38,7 +38,7 @@ import numpy as np
 
 from ..ops.edt import batch_edt
 from ..ops.softsplat import function_softsplat
-from ..ops.warp import bilinear_sample
+from ..ops.warp import bilinear_sample, warp
 from .common import (
     cast_params,
     avg_pool2d,
@@ -168,12 +168,16 @@ def flow_backwarp(img: Array, flow_yx: Array, padding_mode: str = "border") -> A
     fy = flow_yx[..., 0].astype(jnp.float32)
     fx = flow_yx[..., 1].astype(jnp.float32)
     # base grid linspace(-1, 1, n) mapped to pixels under align_corners=False:
-    # px = fx + j*W/(W-1) - 0.5
-    jj = jnp.arange(w, dtype=jnp.float32) * (w / max(w - 1, 1))
-    ii = jnp.arange(h, dtype=jnp.float32) * (h / max(h - 1, 1))
-    sx = fx + jj[None, None, :] - 0.5
-    sy = fy + ii[None, :, None] - 0.5
-    return bilinear_sample(img, sx, sy, padding_mode=padding_mode)
+    # px = fx + j*W/(W-1) - 0.5. Expressed as grid + adjusted-flow so it rides
+    # ops.warp.warp (Pallas windowed kernel) instead of an XLA gather.
+    jj = jnp.arange(w, dtype=jnp.float32)
+    ii = jnp.arange(h, dtype=jnp.float32)
+    off_x = jj * (w / max(w - 1, 1)) - jj - 0.5
+    off_y = ii * (h / max(h - 1, 1)) - ii - 0.5
+    adj = jnp.stack(
+        [fx + off_x[None, None, :], fy + off_y[None, :, None]], axis=-1
+    )
+    return warp(img, adj, padding_mode=padding_mode)
 
 
 def _morph_open(x: Array, k: int) -> Array:

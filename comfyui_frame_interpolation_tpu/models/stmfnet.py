@@ -30,7 +30,7 @@ import numpy as np
 from ..ops.adacof import adacof_func
 from ..ops.correlation import correlation_func
 from ..ops.softsplat import function_softsplat
-from ..ops.warp import bilinear_sample
+from ..ops.warp import bilinear_sample, warp
 from .common import (
     cast_params,
     batch_norm,
@@ -64,10 +64,10 @@ def _backwarp_masked(x: Array, flow: Array) -> Array:
     n, h, w, c = x.shape
     fx = flow[..., 0] * (w / (w - 1.0))
     fy = flow[..., 1] * (h / (h - 1.0))
-    xs = jnp.arange(w, dtype=flow.dtype)[None, None, :]
-    ys = jnp.arange(h, dtype=flow.dtype)[None, :, None]
     aug = jnp.concatenate([x, jnp.ones_like(x[..., :1])], -1)
-    out = bilinear_sample(aug, xs + fx, ys + fy, padding_mode="zeros")
+    # grid + scaled flow with zeros padding == ops.warp.warp semantics, which
+    # routes to the Pallas windowed kernel (the XLA form gathered here)
+    out = warp(aug, jnp.stack([fx, fy], -1), padding_mode="zeros")
     mask = (out[..., -1:] > 0.999).astype(x.dtype)
     return out[..., :-1] * mask
 

@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.warp import bilinear_sample
+from ..ops.warp import bilinear_sample, warp
 from .common import conv2d, pixel_shuffle, resize_bilinear
 
 Array = jax.Array
@@ -91,15 +91,13 @@ def _bwarp(x: Array, flow_xy: Array) -> Array:
     """VFInet.bwarp (xvfi_arch.py:246-268): align_corners=True zeros-padded
     backwarp with a warped-ones validity mask thresholded at 0.999."""
     n, h, w, c = x.shape
-    fx = flow_xy[..., 0].astype(jnp.float32)
-    fy = flow_xy[..., 1].astype(jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :] + fx
-    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None] + fy
-    out = bilinear_sample(x, xs, ys, padding_mode="zeros")
-    ones = jnp.ones((n, h, w, 1), x.dtype)
-    mask = bilinear_sample(ones, xs, ys, padding_mode="zeros")
-    mask = jnp.where(mask < 0.999, 0.0, 1.0)
-    return out * mask
+    # grid + flow with zeros padding == ops.warp.warp semantics: one warp of
+    # the ones-augmented stack rides the Pallas windowed kernel (the XLA form
+    # paid two full gathers here — image and mask)
+    aug = jnp.concatenate([x, jnp.ones((n, h, w, 1), x.dtype)], -1)
+    out = warp(aug, flow_xy.astype(jnp.float32), padding_mode="zeros")
+    mask = jnp.where(out[..., -1:] < 0.999, 0.0, 1.0)
+    return out[..., :-1] * mask
 
 
 def _z_fwarp(img: Array, flo_xy: Array, z: Array) -> Tuple[Array, Array]:
