@@ -162,35 +162,67 @@ class _BidirCorr:
 
     def _windowed(self, query: Array, pyr, coords: Array) -> Array:
         """[B,H,W,levels*(2r+1)^2]: <query_q, bilin(pool_l(target))(coords_q/2^l
-        + delta)>/sqrt(c) for the (2r+1)^2 delta window at every level."""
+        + delta)>/sqrt(c) for the (2r+1)^2 delta window at every level.
+
+        The deltas are INTEGERS, so every tap shares one fractional part per
+        axis: the whole window is a bilinear lerp of four integer-shifted
+        (2r+1)² sub-windows of ONE (2r+2)² integer patch around
+        floor(coords). The patch arrives as 2r+2 WIDE contiguous row slices
+        (vmapped dynamic_slice → gather with [1, 2r+2, C] slice sizes) from a
+        zero-padded target — the layout XLA lowers well — instead of the
+        per-tap scattered bilinear gather this replaced (which dominated
+        AMT's runtime: 1177 GFLOP measured at 0.31 TFLOP/s). Each row is
+        contracted with the query immediately, so only the [.., P, P] dot
+        field is materialized. Tap-order quirk preserved: the reference adds
+        the (dy,dx)-ordered meshgrid to (x,y)-ordered coords directly
+        (amt_arch.py:1119-1121), so the OUTER tap index perturbs x."""
         r = self.radius
         n = 2 * r + 1
+        pp = 2 * r + 2
         b, h, w, c = query.shape
-        dxy = jnp.stack(
-            jnp.meshgrid(
-                jnp.linspace(-r, r, n), jnp.linspace(-r, r, n), indexing="ij"
-            ),
-            axis=-1,
-        )  # [n, n, (dy, dx)]
+        q_flat = query.reshape(b, h * w, c)
         scale = 1.0 / math.sqrt(self.c)
+
+        def _slice_rows(t, ry, rx):
+            return jax.lax.dynamic_slice(
+                t, (ry, rx, 0), (1, pp, t.shape[-1])
+            )[0]
+
+        slice_q = jax.vmap(_slice_rows, in_axes=(None, 0, 0))
+        slice_b = jax.vmap(slice_q, in_axes=(0, 0, 0))
+
         outs = []
         for i, tgt in enumerate(pyr):
-            cl = coords / (2**i)  # [B, H, W, 2]
+            hl, wl = tgt.shape[1:3]
+            tp = jnp.pad(tgt, ((0, 0), (pp, pp), (pp, pp), (0, 0)))
+            cl = coords.reshape(b, h * w, 2).astype(jnp.float32) / (2**i)
+            cx, cy = cl[..., 0], cl[..., 1]
+            fx0, fy0 = jnp.floor(cx), jnp.floor(cy)
+            tx = (cx - fx0)[..., None, None]
+            ty = (cy - fy0)[..., None, None]
+            bx_v = fx0.astype(jnp.int32) - r
+            by_v = fy0.astype(jnp.int32) - r
+            # windows that intersect the image map exactly under the pp-pad
+            # (no clip engages); fully-outside windows would be mis-mapped by
+            # the clip, but all their taps are out of range → zeroed below
+            ok = (
+                (bx_v + n >= 0) & (bx_v <= wl - 1)
+                & (by_v + n >= 0) & (by_v <= hl - 1)
+            )
+            bx = jnp.clip(bx_v + pp, 0, wl + pp)
             rows = []
-            for k in range(n):  # one row of the tap window at a time
-                # the reference adds the (dy,dx)-ordered delta to (x,y)-ordered
-                # coords directly (amt_arch.py:1119-1121), so x += dy-grid and
-                # y += dx-grid — reproduced verbatim.
-                sx = cl[..., 0:1] + dxy[k, :, 0]  # [B, H, W, n]
-                sy = cl[..., 1:2] + dxy[k, :, 1]
-                sampled = bilinear_sample(
-                    tgt,
-                    sx.reshape(b, h, w * n),
-                    sy.reshape(b, h, w * n),
-                    padding_mode="zeros",
-                ).reshape(b, h, w, n, tgt.shape[-1])
-                rows.append(jnp.einsum("bhwkc,bhwc->bhwk", sampled, query))
-            outs.append(jnp.concatenate(rows, axis=-1) * scale)
+            for ay in range(pp):
+                ry = jnp.clip(by_v + pp + ay, 0, hl + 2 * pp - 1)
+                sl = slice_b(tp, ry, bx)  # [B, HW, pp, C]
+                rows.append(jnp.einsum("bqpc,bqc->bqp", sl, q_flat))
+            d_f = jnp.stack(rows, axis=-2)  # [B, HW, pp(y), pp(x)]
+            d_f = jnp.where(ok[..., None, None], d_f, 0.0)
+            dy_l = (1.0 - ty) * d_f[..., 0:n, :] + ty * d_f[..., 1:pp, :]
+            dxy_l = (1.0 - tx) * dy_l[..., 0:n] + tx * dy_l[..., 1:pp]
+            # dxy_l axes are [.., j(y-offset), k(x-offset)]; tap index is
+            # k*n + j (outer index = x) → swap before flattening
+            taps = jnp.swapaxes(dxy_l, -1, -2).reshape(b, h, w, n * n)
+            outs.append(taps * scale)
         return jnp.concatenate(outs, axis=-1)
 
     def lookup(self, coords0: Array, coords1: Array) -> Tuple[Array, Array]:
