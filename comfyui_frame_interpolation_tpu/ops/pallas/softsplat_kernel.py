@@ -469,8 +469,7 @@ def _splat_kernel_stacked(
         iota_l = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
         iota_s = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
 
-        for ch in range(c):
-            acc_ref[ch] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        acc_ref[...] = jnp.zeros((c, TILE_H, TILE_W), jnp.float32)
         for grp in range(n_groups):
             r0 = grp * TILE_H
             for ci in range(n_chunks):
@@ -515,16 +514,15 @@ def _splat_kernel_stacked(
                     n_iota = jax.lax.broadcasted_iota(
                         jnp.int32, (TILE_W, TILE_W), 1
                     )
-                    vals = [
-                        win_ref[
-                            slot, ch, r0 : r0 + TILE_H, c0 : c0 + TILE_W
-                        ].astype(jnp.float32)
-                        for ch in range(c)
-                    ]
-                    accs = [
-                        jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                        for _ in range(c)
-                    ]
+                    # [C, TILE_H, TILE_W] source block: ALL channels ride one
+                    # slab/ymask build per source row rr below — the one-hot
+                    # construction (flow-dependent, VPU) is channel-invariant,
+                    # and stacking channels into a single [C*8, 128] LHS turns
+                    # c tiny 8-row MXU passes into one full-height matmul.
+                    block = win_ref[
+                        slot, :, r0 : r0 + TILE_H, c0 : c0 + TILE_W
+                    ].astype(jnp.float32)
+                    acc3 = jnp.zeros((c * TILE_H, TILE_W), jnp.float32)
                     for rr in range(TILE_H):
                         tx_col = jax.lax.broadcast_in_dim(
                             txT[:, rr : rr + 1], (TILE_W, TILE_W), (0, 1)
@@ -555,29 +553,22 @@ def _splat_kernel_stacked(
                         ymask = jnp.where(
                             (ly_r == iota_s) & vy0_r, 1.0 - wy1_r, 0.0
                         ) + jnp.where((ly_r + 1 == iota_s) & vy1_r, wy1_r, 0.0)
-                        for ch in range(c):
-                            val_r = jax.lax.broadcast_in_dim(
-                                vals[ch][rr : rr + 1, :],
-                                (TILE_H, TILE_W), (0, 1),
-                            )
-                            accs[ch] = accs[ch] + jnp.dot(
-                                ymask * val_r, slab,
-                                preferred_element_type=jnp.float32,
-                            )
-                    for ch in range(c):
-                        acc_ref[ch] = acc_ref[ch] + accs[ch]
+                        lhs = block[:, rr : rr + 1, :] * ymask[None]
+                        acc3 = acc3 + jnp.dot(
+                            lhs.reshape(c * TILE_H, TILE_W), slab,
+                            preferred_element_type=jnp.float32,
+                        )
+                    acc_ref[...] = acc_ref[...] + acc3.reshape(
+                        c, TILE_H, TILE_W
+                    )
 
         @pl.when(k == 0)
         def _():
-            for ch in range(c):
-                out_ref[0, ch] = acc_ref[ch].astype(out_ref.dtype)
+            out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
         @pl.when(k > 0)
         def _():
-            for ch in range(c):
-                out_ref[0, ch] = out_ref[0, ch] + acc_ref[ch].astype(
-                    out_ref.dtype
-                )
+            out_ref[0] = out_ref[0] + acc_ref[...].astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -702,11 +693,14 @@ def softsplat_pallas_banded(ten_in: Array, ten_flow: Array) -> Array:
     ww = min(ww, wp)
     meta = _stacked_meta(present[:nb])
 
-    # the kernel's scoped-VMEM stack (and Mosaic compile time) scales with
-    # C x itemsize; wide channels FOLD equal zero-padded chunks into the
-    # batch axis — one launch, flow windows DMA'd once per true batch index
-    # (channels splat independently under the same flow, so this is exact)
-    cap = 16 if jnp.dtype(vals.dtype).itemsize < 4 else 2
+    # the kernel's window scratch scales with C x itemsize; wide channels
+    # FOLD equal zero-padded chunks into the batch axis — one launch, flow
+    # windows DMA'd per fold step (channels splat independently under the
+    # same flow, so this is exact). Every fold chunk re-pays the per-row
+    # one-hot slab builds, so the cap is as high as the register file
+    # allows: 16 channels stack to a [128, 128] matmul LHS (full MXU
+    # height) while acc3/slab/block fit in vregs without spilling.
+    cap = 16
     if c <= cap:
         out = softsplat_pallas_stacked(vals, flow, meta, wh, ww, nb)
     else:
