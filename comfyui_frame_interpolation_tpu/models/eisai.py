@@ -236,89 +236,57 @@ def _basic_encoder(p: Params, x: Array) -> Array:
     return conv2d(x, p["conv2"])
 
 
-def _corr_pyramid(f2: Array, num_levels: int = 4) -> List[Array]:
-    """Target-feature pyramid standing in for CorrBlock.__init__
-    (eisai_arch.py:179-195). The reference materializes the all-pairs volume
-    ``corr[n, m] = <f1_n, f2_m>/sqrt(c)`` as ``[B*H*W, h2, w2]`` (~517 MB at
-    540p) plus avg-pooled copies. Correlation is LINEAR in the target
-    features, so avg-pooling the volume over the target dims equals
-    correlating against avg-pooled target features, and bilinear-sampling the
-    pooled volume equals bilinear-sampling the pooled features and dotting
-    with the (full-res) query. The volume therefore never needs to exist:
-    keep only the pooled f2 pyramid — O(B*HW*C) instead of O(B*HW^2)."""
-    pyr = [f2.astype(jnp.float32)]
+def _corr_pyramid(f1: Array, f2: Array, num_levels: int = 4) -> List[Array]:
+    """CorrBlock.__init__ (eisai_arch.py:179-195): all-pairs correlation as a
+    single batched matmul (MXU-friendly), then an avg-pooled pyramid over the
+    target spatial dims. Returns [B*H1*W1, h2, w2, 1] per level."""
+    b, h, w, c = f1.shape
+    a = f1.reshape(b, h * w, c).astype(jnp.float32)
+    bm = f2.reshape(b, h * w, c).astype(jnp.float32)
+    corr = jnp.einsum("bnc,bmc->bnm", a, bm) / math.sqrt(c)
+    corr = corr.reshape(b * h * w, h, w, 1)
+    pyr = [corr]
     for _ in range(num_levels - 1):
-        pyr.append(avg_pool2d(pyr[-1], 2))
+        corr = avg_pool2d(corr, 2)
+        pyr.append(corr)
     return pyr
 
 
 def _corr_lookup(
-    query: Array, pyr: List[Array], coords_xy: Array, radius: int = 4
+    pyr: List[Array], coords_xy: Array, radius: int = 4
 ) -> Array:
     """CorrBlock.__call__ (eisai_arch.py:196-217): sample a (2r+1)² window
-    around the current correspondence at every pyramid level, volume-free.
+    around the current correspondence at every pyramid level.
 
-    query: [B, H, W, C] full-res fmap1; coords_xy: [B, H, W, 2] (x, y) pixel
-    coords at 1/8 resolution. Returns [B, H, W, levels*(2r+1)²].
-
-    Tap semantics (eisai_arch.py:203-205): meshgrid(dy, dx, 'ij') added to
-    (x, y) centroids — tap (i, j) samples at x = cx + d[i], y = cy + d[j],
-    flattened x-outer. The deltas are INTEGERS, so every tap shares one
-    fractional part per axis: the whole window is a bilinear lerp of four
-    integer-shifted (2r+1)² sub-windows of ONE (2r+2)² integer patch of
-    POOLED TARGET FEATURES around floor(coords). The patch arrives as 2r+2
-    wide contiguous row slices (vmapped dynamic_slice from a zero-padded
-    target — the layout XLA lowers well), each contracted with the query
-    immediately so only the [.., P, P] dot field materializes. This replaced
-    two per-position tent-matrix matmuls against the materialized volume
-    whose 9-row LHS left ~93 % of the MXU idle (the dominant RAFT cost:
-    ~518 ms/iter at 540p b2). Out-of-range taps read zero-padded features
-    and hence dot to zero = the volume lookup's zeros-padding semantics."""
+    coords_xy: [B, H, W, 2] (x, y) pixel coords at 1/8 resolution.
+    Returns [B, H, W, levels*(2r+1)²]."""
+    b, h, w, _ = coords_xy.shape
+    n = b * h * w
     r = radius
     nt = 2 * r + 1
-    pp = 2 * r + 2
-    b, h, w, c = query.shape
-    q_flat = query.reshape(b, h * w, c).astype(jnp.float32)
-    scale = 1.0 / math.sqrt(c)
-
-    def _slice_rows(t, ry, rx):
-        return jax.lax.dynamic_slice(t, (ry, rx, 0), (1, pp, t.shape[-1]))[0]
-
-    slice_q = jax.vmap(_slice_rows, in_axes=(None, 0, 0))
-    slice_b = jax.vmap(slice_q, in_axes=(0, 0, 0))
-
+    # delta semantics (eisai_arch.py:203-205): meshgrid(dy, dx, 'ij') added to
+    # (x, y) centroids — the reference adds a (dy, dx) delta to (x, y), so
+    # tap (i, j) samples at x = cx + d[i], y = cy + d[j]. The window is
+    # SEPARABLE in (i, j), and bilinear sampling with zeros padding is a tent
+    # weight over each axis independently, so the whole 81-tap lookup is two
+    # tiny batched matmuls against tent-weight matrices — no gather at all
+    # (XLA lowers a B*H*W-deep batched gather catastrophically on TPU; this
+    # was the dominant cost of the RAFT iteration, ~518 ms/iter at 540p b2).
+    # Out-of-range taps get all-zero tent weights = zeros-padding semantics.
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
     out = []
-    for i, tgt in enumerate(pyr):
-        hl, wl = tgt.shape[1:3]
-        tp = jnp.pad(tgt, ((0, 0), (pp, pp), (pp, pp), (0, 0)))
-        cen = coords_xy.reshape(b, h * w, 2).astype(jnp.float32) / (2**i)
-        cx, cy = cen[..., 0], cen[..., 1]
-        fx0, fy0 = jnp.floor(cx), jnp.floor(cy)
-        tx = (cx - fx0)[..., None, None]
-        ty = (cy - fy0)[..., None, None]
-        bx_v = fx0.astype(jnp.int32) - r
-        by_v = fy0.astype(jnp.int32) - r
-        # windows intersecting the image map exactly under the pp-pad (no
-        # clip engages); fully-outside windows would be mis-mapped by the
-        # clip, but every tap of such a window is out of range → zeroed
-        ok = (
-            (bx_v + nt >= 0) & (bx_v <= wl - 1)
-            & (by_v + nt >= 0) & (by_v <= hl - 1)
-        )
-        bx = jnp.clip(bx_v + pp, 0, wl + pp)
-        rows = []
-        for ay in range(pp):
-            ry = jnp.clip(by_v + pp + ay, 0, hl + 2 * pp - 1)
-            sl = slice_b(tp, ry, bx)  # [B, HW, pp, C]
-            rows.append(jnp.einsum("bqpc,bqc->bqp", sl, q_flat))
-        d_f = jnp.stack(rows, axis=-2)  # [B, HW, pp(y), pp(x)]
-        d_f = jnp.where(ok[..., None, None], d_f, 0.0)
-        dy_l = (1.0 - ty) * d_f[..., 0:nt, :] + ty * d_f[..., 1:pp, :]
-        dxy_l = (1.0 - tx) * dy_l[..., 0:nt] + tx * dy_l[..., 1:pp]
-        # dxy_l axes are [.., j(y-offset), i(x-offset)]; the flat tap index
-        # is i*nt + j (outer index = x) → swap before flattening
-        taps = jnp.swapaxes(dxy_l, -1, -2).reshape(b, h, w, nt * nt)
-        out.append(taps * scale)
+    for i, corr in enumerate(pyr):
+        h2, w2 = corr.shape[1:3]
+        cen = coords_xy.reshape(n, 2).astype(jnp.float32) / (2**i)
+        sx = cen[:, 0:1] + d[None]  # [N, nt]
+        sy = cen[:, 1:2] + d[None]
+        yg = jnp.arange(h2, dtype=jnp.float32)
+        xg = jnp.arange(w2, dtype=jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] - yg))  # [N,nt,h2]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - xg))  # [N,nt,w2]
+        tmp = jnp.einsum("njh,nhw->njw", wy, corr[..., 0])
+        taps = jnp.einsum("niw,njw->nij", wx, tmp)  # [N, nt(i), nt(j)]
+        out.append(taps.reshape(b, h, w, nt * nt))
     return jnp.concatenate(out, axis=-1)
 
 
@@ -395,7 +363,7 @@ def rfr_flow(p: Params, image1: Array, image2: Array, iters: int = 12) -> Array:
 
     fmap1 = _basic_encoder(p["fnet"], im1).astype(jnp.float32)
     fmap2 = _basic_encoder(p["fnet"], im2).astype(jnp.float32)
-    pyr = _corr_pyramid(fmap2)
+    pyr = _corr_pyramid(fmap1, fmap2)
 
     cnet = _basic_encoder(p["fnet"], im1)
     # recurrent GRU state stays f32: the correlation features are f32 by
@@ -413,7 +381,7 @@ def rfr_flow(p: Params, image1: Array, image2: Array, iters: int = 12) -> Array:
     coords0 = jnp.broadcast_to(jnp.stack([gx, gy], -1)[None], (b, gh, gw, 2))
 
     def step(net, coords1):
-        corr = _corr_lookup(fmap1, pyr, coords1)
+        corr = _corr_lookup(pyr, coords1)
         flow = coords1 - coords0
         net, up_mask, delta = _update_block(
             p["update_block"], net, inp, corr, flow
