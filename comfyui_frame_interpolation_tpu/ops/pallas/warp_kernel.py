@@ -50,6 +50,7 @@ with ``(win_h - 8) * (win_w / 128)``; DMA and weight math are minor.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -67,13 +68,16 @@ DEF_WIN_W = 384
 # per-tile bases this covers local flow variation of ≤8 px vertically and
 # ≤128 px horizontally within one (8, 128) tile — virtually all real flows
 K0_WIN = (24, 384)
+# max x-floor span for the diagonal kernel's crossbar-free x-fast body
+# (fast tier 2): each extra unit adds 4 static-slice FMAs per channel
+XFAST_DX = 2
 
 
 def _warp_kernel_diag_roll(
-    ymin_ref, by_ref, bx_ref, fast_ref,  # scalar-prefetched [T]
+    ymin_ref, by_ref, bx_ref, fast_ref, kx_ref,  # scalar-prefetched [T]
     fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
     *, h: int, w: int, win_h: int, win_w: int, c: int,
-    grid_hw: Tuple[int, int], zeros: bool = False
+    grid_hw: Tuple[int, int], zeros: bool = False, xfast: bool = False
 ):
     """Diagonal kernel with a dynamic sublane ROLL of the window that cancels
     the 8-row base alignment loss: the rolled window's row r holds source row
@@ -210,29 +214,72 @@ def _warp_kernel_diag_roll(
         for ch in range(c):
             out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
 
-    fast = fast_ref[t] != 0
+    def compute_xfast():
+        # fast tier 2: constant integer y displacement AND x-floor span
+        # <= XFAST_DX with no horizontal clipping. Every tap then sits at a
+        # STATIC lane offset k + {0, 1} of the row+lane-rolled window, so the
+        # per-channel work is 4*(XFAST_DX+1) static-slice FMAs — zero lane
+        # crossbars. Masks/weights are channel-invariant; term order and
+        # association replicate ops.warp.bilinear_sample's flat left fold
+        # (p00*w00 + p01*w01 + p10*w10 + p11*w11), interleaving exact-zero
+        # terms only.
+        kx = kx_ref[t]
+        rows = 2 * TILE_H
+        shift_r = jnp.where(s == 0, 0, rows - s)
+        shift_l = jnp.where(kx == 0, 0, win_w - kx)
+        liota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+        kxo = lx0 - kx - liota  # per-pixel lane offset, in [0, XFAST_DX]
+        terms = []
+        for a, wym in ((0, wy0m), (1, wy1m)):
+            for k in range(XFAST_DX + 1):
+                mk = kxo == k
+                terms.append((a, k, wym * jnp.where(mk, wx0, 0.0)))
+                terms.append((a, k + 1, wym * jnp.where(mk, wx1, 0.0)))
+        for ch in range(c):
+            v = win_ref[slot, ch, 0:rows][...].astype(jnp.float32)
+            v = pltpu.roll(v, shift_r, 0)
+            v = pltpu.roll(v, shift_l, 1)
+            acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for a, k, wt in terms:
+                acc = acc + wt * v[a : a + TILE_H, k : k + TILE_W]
+            out_ref[0, ch] = acc.astype(out_ref.dtype)
 
-    @pl.when(fast)
-    def _():
-        compute(2 * TILE_H, 2)
+    fast = fast_ref[t]
+    if xfast:
+        @pl.when(fast == 2)
+        def _():
+            compute_xfast()
 
-    @pl.when(jnp.logical_not(fast))
-    def _():
-        compute(win_h, win_h - TILE_H - 7 + 1)
+        @pl.when(fast == 1)
+        def _():
+            compute(2 * TILE_H, 2)
+
+        @pl.when(fast == 0)
+        def _():
+            compute(win_h, win_h - TILE_H - 7 + 1)
+    else:
+        @pl.when(fast != 0)
+        def _():
+            compute(2 * TILE_H, 2)
+
+        @pl.when(fast == 0)
+        def _():
+            compute(win_h, win_h - TILE_H - 7 + 1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw")
+    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw", "xfast")
 )
 def warp_pallas_planes_v2(
     planes: Array,  # [B, C, H, W]
     fx: Array,
     fy: Array,
-    bases: Tuple[Array, Array, Array, Array],  # (ymin, by, bx, fast)
+    bases: Tuple[Array, ...],  # (ymin, by, bx, fast, kx)
     win_h: int = DEF_WIN_H,
     win_w: int = DEF_WIN_W,
     zeros: bool = False,
     frame_hw: Optional[Tuple[int, int]] = None,
+    xfast: bool = True,
 ) -> Array:
     """Bulk pass: the rolled diagonal kernel over every tile, with per-tile
     window bases from :func:`_diag_bases_fits` (garbage on non-fitting tiles —
@@ -245,12 +292,13 @@ def warp_pallas_planes_v2(
     win_w = min(win_w, w)
     gh, gw = h // TILE_H, w // TILE_W
 
-    assert len(bases) == 4
+    assert len(bases) == 5
     prefetch = tuple(bases)
     kernel = functools.partial(
         _warp_kernel_diag_roll,
         h=hb, w=wb, win_h=win_h, win_w=win_w, c=c,
         grid_hw=(gh, gw), zeros=zeros,
+        xfast=xfast and win_w >= 2 * TILE_W,
     )
     flow_spec = pl.BlockSpec(
         (1, TILE_H, TILE_W), lambda bi, hi, wi, *_: (bi, hi, wi),
@@ -524,9 +572,11 @@ def _tile_spans(fx, fy, h, w, hb, wb):
     clamped regions land anyway (their deviation turns negative). Non-finite
     flows contribute nothing on every path and are span-neutral (0) here.
 
-    Returns (ymin, ymax, xmin, xmax, dymin, dymax, edge): absolute row/col
-    spans clipped to the frame (for the patch pass's slab range), raw
-    displacement spans (for diagonal bases/fits), and the edge flag — all
+    Returns (ymin, ymax, xmin, xmax, dymin, dymax, edge, dxmin, dxspan,
+    xfree): absolute row/col spans clipped to the frame (for the patch pass's
+    slab range), raw displacement spans (for diagonal bases/fits), the edge
+    flag, plus the raw x displacement min/span and a "no horizontal clipping
+    anywhere in the tile, +1 taps included" flag (for the x-fast body) — all
     [B, gh, gw]."""
     b = fx.shape[0]
     gh, gw = h // TILE_H, w // TILE_W
@@ -561,10 +611,14 @@ def _tile_spans(fx, fy, h, w, hb, wb):
     # entirely inside the caller's bottom padding are cropped away — never
     # flag them.
     edge = ((y_lo < 0) | (y_hi0 > hb - 1)) & (row0 <= hb - 1)
+    # no x clipping can engage anywhere in the tile: min unclipped floor >= 0
+    # means min sx >= 0, and max floor <= wb-2 means max sx < wb-1, so the +1
+    # taps are in-frame too (x_hi0 + 1 <= wb - 1)
+    xfree = (x_lo >= 0) & (x_hi0 + 1 <= wb - 1)
     return (
         jnp.clip(y_lo, 0, hb - 1), jnp.clip(y_hi0 + 1, 0, hb - 1),
         jnp.clip(x_lo, 0, wb - 1), jnp.clip(x_hi0 + 1, 0, wb - 1),
-        dymin, dymax, edge,
+        dymin, dymax, edge, dxmin, dxmax - dxmin, xfree,
     )
 
 
@@ -580,8 +634,8 @@ def _diag_bases_fits(spans, wh, ww, h, w, hb, wb):
     window, and it doesn't touch frame clipping (edge tiles break the
     floor(row+f)=row+floor(f) identity — the patch pass owns them). Callers
     pad the planes by wh-8 extra bottom rows so ``by`` is never clipped down
-    for real tiles. Returns (ymin, by, bx, fits, fast), flattened."""
-    ymin, ymax, xmin, xmax, dymin, dymax, edge = spans
+    for real tiles. Returns (ymin, by, bx, fits, fast, kx), flattened."""
+    ymin, ymax, xmin, xmax, dymin, dymax, edge, dxmin, dxspan, xfree = spans
     wh = min(wh, h)
     ww = min(ww, w)
     by = jnp.clip((ymin // TILE_H) * TILE_H, 0, max(h - wh, 0))
@@ -593,13 +647,22 @@ def _diag_bases_fits(spans, wh, ww, h, w, hb, wb):
         & (dymax - dymin <= wh - 2 * TILE_H)
         & (xmax - bx <= ww - 1)
     )
-    # span-0 tiles (constant integer displacement) take the kernel's cheap
-    # 2-diagonal body — see _warp_kernel_diag_roll
-    fast = (fits & (dymax == dymin)).astype(jnp.int32)
+    # fast tiers (see _warp_kernel_diag_roll): 1 = vertical span 0 (cheap
+    # 2-diagonal body); 2 = additionally x-floor span <= XFAST_DX with no
+    # horizontal clipping anywhere in the tile (x-fast body: static-slice
+    # taps off a lane-rolled window — no lane crossbars at all).
+    fasty = fits & (dymax == dymin)
+    fast = fasty.astype(jnp.int32)
+    col0 = (jnp.arange(xmin.shape[-1], dtype=jnp.int32) * TILE_W)[None, None]
+    # lane base of the tile's x0 taps inside the window: x0(j) = kx + j
+    kx = col0 + dxmin - bx
+    if ww >= 2 * TILE_W:
+        fast += (fasty & (dxspan <= XFAST_DX) & xfree).astype(jnp.int32)
     ymin_b = jnp.broadcast_to(ymin, fits.shape)
+    kx_b = jnp.broadcast_to(kx, fits.shape)
     return (
         ymin_b.reshape(-1), by.reshape(-1), bx.reshape(-1), fits.reshape(-1),
-        fast.reshape(-1),
+        fast.reshape(-1), kx_b.reshape(-1),
     )
 
 
@@ -613,7 +676,7 @@ def _rows_bases_fits(spans, wh, ww, h, w):
     ``r + d <= wh - 1``), and the x span sits in the 128-aligned window.
     Returns (ymin, by, bx, fits, fast), flattened — ymin kept for signature
     parity with the diagonal kernel's bases (the patch pass uses it)."""
-    ymin, ymax, xmin, xmax, dymin, dymax, edge = spans
+    ymin, ymax, xmin, xmax, dymin, dymax, edge = spans[:7]
     wh = min(wh, h)
     ww = min(ww, w)
     by = jnp.clip(ymin, 0, max(h - wh, 0))
@@ -855,10 +918,14 @@ def warp_pallas_nhwc_tiered(
     wh, ww = K0_WIN
     if mxu:
         tymin, by, bx, fits, tfast = _rows_bases_fits(spans, wh, ww, h, w)
+        tkx = None
     else:
-        tymin, by, bx, fits, tfast = _diag_bases_fits(
+        tymin, by, bx, fits, tfast, tkx = _diag_bases_fits(
             spans, wh, ww, h, w, hb, wb
         )
+    # default OFF until the on-chip exactness + composed A/B pass (same
+    # protocol as CFI_WARP_MXU: the composed bench decides, see PROBES §2)
+    xfast = os.environ.get("CFI_WARP_XFAST", "0") != "0"
     planes = img.transpose(0, 3, 1, 2)
     ymin, ymax = spans[0].reshape(-1), spans[1].reshape(-1)
     bad = jnp.logical_not(fits).astype(jnp.int32)
@@ -895,7 +962,8 @@ def warp_pallas_nhwc_tiered(
         else:
             bulk = warp_pallas_planes_v2(
                 planes_c, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
-                frame_hw=(hb, wb), bases=(tymin, by, bx, tfast),
+                frame_hw=(hb, wb), bases=(tymin, by, bx, tfast, tkx),
+                xfast=xfast,
             )
         return _run_patch(
             bulk, planes_c, fx, fy, bad, ymin, ymax, hb, wb, zeros
@@ -931,7 +999,8 @@ def warp_pallas_nhwc_tiered(
         else:
             bulk = warp_pallas_planes_v2(
                 planes_f, fx_f, fy_f, win_h=wh, win_w=ww, zeros=zeros,
-                frame_hw=(hb, wb), bases=fold_bases,
+                frame_hw=(hb, wb), bases=fold_bases + (rep_t(tkx),),
+                xfast=xfast,
             )
         out = _run_patch(
             bulk, planes_f, fx_f, fy_f, rep_t(bad), rep_t(ymin), rep_t(ymax),
