@@ -37,9 +37,10 @@ BASELINE_FPS = 25.0  # estimated reference cupy-backend A100 1080p 2x
 # measured reference numbers.
 SECONDARY_BASELINES = {
     "film": 8.0, "m2m": 12.0, "ifrnet": 20.0, "sepconv": 2.0, "flavr": 4.0,
-    # stmfnet: 1080p estimate was 2.0; the committed row runs 720p (1080p
-    # crashes the axon compile helper) so the denominator is pixel-scaled
-    "gmfss": 4.0, "stmfnet": 4.5, "atm": 3.0, "eisai": 3.0, "cain": 10.0,
+    # stmfnet: 1080p estimate was 2.0; the committed row runs 540p (1080p
+    # and 720p crash the axon compile helper) so the denominator is
+    # pixel-scaled 4x
+    "gmfss": 4.0, "stmfnet": 8.0, "atm": 3.0, "eisai": 3.0, "cain": 10.0,
     "ifunet": 8.0, "amt": 6.0, "xvfi": 4.0, "momo": 0.5,
 }
 
@@ -325,11 +326,12 @@ def bench_gmfss(batch=1):
             os.environ["CFI_TPU_SPLAT"] = prev
 
 
-def bench_stmfnet(batch=1, height=720, width=1280):
-    # The composed 1080p STMFNet program (pad-128 -> 1152x2048; AdaCoF +
-    # PWC-correlation + softsplat Pallas kernels + r3d convs over 4 frames)
-    # crashes the axon remote compile helper (HTTP 500, 3/3 attempts r4);
-    # the committed matrix row runs 720p until the helper limit moves.
+def bench_stmfnet(batch=1, height=540, width=960):
+    # The composed STMFNet program (pad-128; AdaCoF + PWC-correlation +
+    # softsplat Pallas kernels + r3d convs over 4 frames) crashes the axon
+    # remote compile helper (HTTP 500) at BOTH 1080p (3/3 attempts) and 720p
+    # (r4 battery, 10:06); the committed matrix row runs 540p until the
+    # helper limit moves, with the baseline pixel-scaled to match.
     _tests_dir_importable()
     import types
 
