@@ -68,16 +68,18 @@ DEF_WIN_W = 384
 # per-tile bases this covers local flow variation of ≤8 px vertically and
 # ≤128 px horizontally within one (8, 128) tile — virtually all real flows
 K0_WIN = (24, 384)
-# max x-floor span for the diagonal kernel's crossbar-free x-fast body
-# (fast tier 2): each extra unit adds 4 static-slice FMAs per channel
-XFAST_DX = 2
+# NOTE: a third crossbar-free "x-fast" tier (static-lane taps off a
+# lane-rolled window, CFI_WARP_XFAST, round 4) was deleted in round 5: the
+# composed A/B measured no RIFE gain (28.38 vs 28.40) and a 13 % FILM
+# regression, and its TPU exactness was never verified. The take_along_axis
+# crossbar below is not the bottleneck on real (locally smooth) flows.
 
 
 def _warp_kernel_diag_roll(
-    ymin_ref, by_ref, bx_ref, fast_ref, kx_ref,  # scalar-prefetched [T]
+    ymin_ref, by_ref, bx_ref, fast_ref,  # scalar-prefetched [T]
     fx_ref, fy_ref, img_ref, out_ref, win_ref, sem,
     *, h: int, w: int, win_h: int, win_w: int, c: int,
-    grid_hw: Tuple[int, int], zeros: bool = False, xfast: bool = False
+    grid_hw: Tuple[int, int], zeros: bool = False
 ):
     """Diagonal kernel with a dynamic sublane ROLL of the window that cancels
     the 8-row base alignment loss: the rolled window's row r holds source row
@@ -214,72 +216,29 @@ def _warp_kernel_diag_roll(
         for ch in range(c):
             out_ref[0, ch] = accs[ch].astype(out_ref.dtype)
 
-    def compute_xfast():
-        # fast tier 2: constant integer y displacement AND x-floor span
-        # <= XFAST_DX with no horizontal clipping. Every tap then sits at a
-        # STATIC lane offset k + {0, 1} of the row+lane-rolled window, so the
-        # per-channel work is 4*(XFAST_DX+1) static-slice FMAs — zero lane
-        # crossbars. Masks/weights are channel-invariant; term order and
-        # association replicate ops.warp.bilinear_sample's flat left fold
-        # (p00*w00 + p01*w01 + p10*w10 + p11*w11), interleaving exact-zero
-        # terms only.
-        kx = kx_ref[t]
-        rows = 2 * TILE_H
-        shift_r = jnp.where(s == 0, 0, rows - s)
-        shift_l = jnp.where(kx == 0, 0, win_w - kx)
-        liota = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-        kxo = lx0 - kx - liota  # per-pixel lane offset, in [0, XFAST_DX]
-        terms = []
-        for a, wym in ((0, wy0m), (1, wy1m)):
-            for k in range(XFAST_DX + 1):
-                mk = kxo == k
-                terms.append((a, k, wym * jnp.where(mk, wx0, 0.0)))
-                terms.append((a, k + 1, wym * jnp.where(mk, wx1, 0.0)))
-        for ch in range(c):
-            v = win_ref[slot, ch, 0:rows][...].astype(jnp.float32)
-            v = pltpu.roll(v, shift_r, 0)
-            v = pltpu.roll(v, shift_l, 1)
-            acc = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-            for a, k, wt in terms:
-                acc = acc + wt * v[a : a + TILE_H, k : k + TILE_W]
-            out_ref[0, ch] = acc.astype(out_ref.dtype)
-
     fast = fast_ref[t]
-    if xfast:
-        @pl.when(fast == 2)
-        def _():
-            compute_xfast()
 
-        @pl.when(fast == 1)
-        def _():
-            compute(2 * TILE_H, 2)
+    @pl.when(fast != 0)
+    def _():
+        compute(2 * TILE_H, 2)
 
-        @pl.when(fast == 0)
-        def _():
-            compute(win_h, win_h - TILE_H - 7 + 1)
-    else:
-        @pl.when(fast != 0)
-        def _():
-            compute(2 * TILE_H, 2)
-
-        @pl.when(fast == 0)
-        def _():
-            compute(win_h, win_h - TILE_H - 7 + 1)
+    @pl.when(fast == 0)
+    def _():
+        compute(win_h, win_h - TILE_H - 7 + 1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw", "xfast")
+    jax.jit, static_argnames=("win_h", "win_w", "zeros", "frame_hw")
 )
 def warp_pallas_planes_v2(
     planes: Array,  # [B, C, H, W]
     fx: Array,
     fy: Array,
-    bases: Tuple[Array, ...],  # (ymin, by, bx, fast, kx)
+    bases: Tuple[Array, ...],  # (ymin, by, bx, fast)
     win_h: int = DEF_WIN_H,
     win_w: int = DEF_WIN_W,
     zeros: bool = False,
     frame_hw: Optional[Tuple[int, int]] = None,
-    xfast: bool = True,
 ) -> Array:
     """Bulk pass: the rolled diagonal kernel over every tile, with per-tile
     window bases from :func:`_diag_bases_fits` (garbage on non-fitting tiles —
@@ -292,13 +251,12 @@ def warp_pallas_planes_v2(
     win_w = min(win_w, w)
     gh, gw = h // TILE_H, w // TILE_W
 
-    assert len(bases) == 5
+    assert len(bases) == 4
     prefetch = tuple(bases)
     kernel = functools.partial(
         _warp_kernel_diag_roll,
         h=hb, w=wb, win_h=win_h, win_w=win_w, c=c,
         grid_hw=(gh, gw), zeros=zeros,
-        xfast=xfast and win_w >= 2 * TILE_W,
     )
     flow_spec = pl.BlockSpec(
         (1, TILE_H, TILE_W), lambda bi, hi, wi, *_: (bi, hi, wi),
@@ -647,22 +605,13 @@ def _diag_bases_fits(spans, wh, ww, h, w, hb, wb):
         & (dymax - dymin <= wh - 2 * TILE_H)
         & (xmax - bx <= ww - 1)
     )
-    # fast tiers (see _warp_kernel_diag_roll): 1 = vertical span 0 (cheap
-    # 2-diagonal body); 2 = additionally x-floor span <= XFAST_DX with no
-    # horizontal clipping anywhere in the tile (x-fast body: static-slice
-    # taps off a lane-rolled window — no lane crossbars at all).
-    fasty = fits & (dymax == dymin)
-    fast = fasty.astype(jnp.int32)
-    col0 = (jnp.arange(xmin.shape[-1], dtype=jnp.int32) * TILE_W)[None, None]
-    # lane base of the tile's x0 taps inside the window: x0(j) = kx + j
-    kx = col0 + dxmin - bx
-    if ww >= 2 * TILE_W:
-        fast += (fasty & (dxspan <= XFAST_DX) & xfree).astype(jnp.int32)
+    # fast tier (see _warp_kernel_diag_roll): vertical span 0 (cheap
+    # 2-diagonal body) — the common case for smooth real flows.
+    fast = (fits & (dymax == dymin)).astype(jnp.int32)
     ymin_b = jnp.broadcast_to(ymin, fits.shape)
-    kx_b = jnp.broadcast_to(kx, fits.shape)
     return (
         ymin_b.reshape(-1), by.reshape(-1), bx.reshape(-1), fits.reshape(-1),
-        fast.reshape(-1), kx_b.reshape(-1),
+        fast.reshape(-1),
     )
 
 
@@ -918,14 +867,10 @@ def warp_pallas_nhwc_tiered(
     wh, ww = K0_WIN
     if mxu:
         tymin, by, bx, fits, tfast = _rows_bases_fits(spans, wh, ww, h, w)
-        tkx = None
     else:
-        tymin, by, bx, fits, tfast, tkx = _diag_bases_fits(
+        tymin, by, bx, fits, tfast = _diag_bases_fits(
             spans, wh, ww, h, w, hb, wb
         )
-    # default OFF until the on-chip exactness + composed A/B pass (same
-    # protocol as CFI_WARP_MXU: the composed bench decides, see PROBES §2)
-    xfast = os.environ.get("CFI_WARP_XFAST", "0") != "0"
     planes = img.transpose(0, 3, 1, 2)
     ymin, ymax = spans[0].reshape(-1), spans[1].reshape(-1)
     bad = jnp.logical_not(fits).astype(jnp.int32)
@@ -962,8 +907,7 @@ def warp_pallas_nhwc_tiered(
         else:
             bulk = warp_pallas_planes_v2(
                 planes_c, fx, fy, win_h=wh, win_w=ww, zeros=zeros,
-                frame_hw=(hb, wb), bases=(tymin, by, bx, tfast, tkx),
-                xfast=xfast,
+                frame_hw=(hb, wb), bases=(tymin, by, bx, tfast),
             )
         return _run_patch(
             bulk, planes_c, fx, fy, bad, ymin, ymax, hb, wb, zeros
@@ -999,8 +943,7 @@ def warp_pallas_nhwc_tiered(
         else:
             bulk = warp_pallas_planes_v2(
                 planes_f, fx_f, fy_f, win_h=wh, win_w=ww, zeros=zeros,
-                frame_hw=(hb, wb), bases=fold_bases + (rep_t(tkx),),
-                xfast=xfast,
+                frame_hw=(hb, wb), bases=fold_bases,
             )
         out = _run_patch(
             bulk, planes_f, fx_f, fy_f, rep_t(bad), rep_t(ymin), rep_t(ymax),
@@ -1032,8 +975,6 @@ def warp_pallas_tiered(img: Array, flow: Array, zeros: bool = False) -> Array:
     locally smooth — diag wins there by >2x. The rows kernel stays for A/B
     and as the escape hatch for genuinely rough-flow workloads; `warpshapes`
     numbers must not be read as real-flow rankings."""
-    import os
-
     env = os.environ.get("CFI_WARP_MXU", "0")
     b, h, w, c = img.shape
     if env == "0":

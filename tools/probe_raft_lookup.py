@@ -19,6 +19,7 @@ Run: python tools/probe_raft_lookup.py  (needs the TPU; ~2 min)
 """
 import functools
 import math
+import os
 import sys
 import time
 
@@ -26,19 +27,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+
 R = 4
 NT = 2 * R + 1
 PP = 2 * R + 2
 
 
 def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3, out
+    # block_until_ready is a no-op on the axon backend — fence through the
+    # host-readback `measure` helper (median-of-rounds) instead
+    ms = measure(fn, *args, iters=iters, rounds=3) * 1e3
+    return ms, fn(*args)
 
 
 def make_inputs(b=2, h=68, w=120, c=256, seed=0):
