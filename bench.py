@@ -972,19 +972,6 @@ def psnr_torch_mode(only=None):
         _install_torchvision_stub()
         _install_cv2_stub()
         torch.Tensor.cuda = lambda self, *a, **k: self
-        # eisai_arch's softsplat wrapper hops CPU tensors to the GPU with
-        # .to("cuda") (eisai_arch.py:1036-1040) — neutralize on CPU-only torch
-        orig_to = torch.Tensor.to
-
-        def _to(self, *args, **kwargs):
-            if args and (
-                args[0] == "cuda"
-                or (isinstance(args[0], torch.device) and args[0].type == "cuda")
-            ):
-                return self
-            return orig_to(self, *args, **kwargs)
-
-        torch.Tensor.to = _to
         ref = _load_ref("vfi_models/eisai/eisai_arch.py", "pt_eisai")
         return (
             ref.RAFT(None).eval(), ref.SoftsplatLite().eval(),
@@ -1001,17 +988,34 @@ def psnr_torch_mode(only=None):
 
     def _eisai_fwd(models, ts):
         # node wiring per reference eisai/__init__.py:30-40; iters=4 keeps the
-        # CPU RAFT tractable at native 540x960 (both sides use the same iters)
-        raft, ssl, dtm = models
-        flow0, _ = raft(ts[0], ts[1], iters=4)
-        flow1, _ = raft(ts[1], ts[0], iters=4)
-        x = {
-            "images": torch.stack([ts[0], ts[1]], dim=1),
-            "flows": torch.stack([flow0, flow1], dim=1),
-        }
-        out_ssl, locs = ssl(x, t=0.5, return_more=True)
-        out_dtm, _ = dtm(x, out_ssl, locs, return_more=False)
-        return out_dtm[:, :3]
+        # CPU RAFT tractable at native 540x960 (both sides use the same iters).
+        # eisai_arch's softsplat wrapper hops CPU tensors to the GPU with
+        # .to("cuda") (eisai_arch.py:1036-1040) — neutralize on CPU-only
+        # torch, scoped to this forward so later families see real semantics
+        orig_to = torch.Tensor.to
+
+        def _to(self, *args, **kwargs):
+            if args and (
+                args[0] == "cuda"
+                or (isinstance(args[0], torch.device) and args[0].type == "cuda")
+            ):
+                return self
+            return orig_to(self, *args, **kwargs)
+
+        torch.Tensor.to = _to
+        try:
+            raft, ssl, dtm = models
+            flow0, _ = raft(ts[0], ts[1], iters=4)
+            flow1, _ = raft(ts[1], ts[0], iters=4)
+            x = {
+                "images": torch.stack([ts[0], ts[1]], dim=1),
+                "flows": torch.stack([flow0, flow1], dim=1),
+            }
+            out_ssl, locs = ssl(x, t=0.5, return_more=True)
+            out_dtm, _ = dtm(x, out_ssl, locs, return_more=False)
+            return out_dtm[:, :3]
+        finally:
+            torch.Tensor.to = orig_to
 
     run_case(
         "eisai", "EISAI VFI", frames2, _build_eisai, _eisai_fwd,
@@ -1084,7 +1088,7 @@ def _emit(metric, fps, baseline, estimated=False):
 
 _RES = {
     "film": "1080p", "m2m": "1080p", "ifrnet": "1080p", "sepconv": "720p",
-    "flavr": "1080p", "gmfss": "1080p", "stmfnet": "720p", "atm": "1080p",
+    "flavr": "1080p", "gmfss": "1080p", "stmfnet": "540p", "atm": "1080p",
     "eisai": "540p", "cain": "1080p", "ifunet": "1080p", "amt": "1080p",
     "xvfi": "1080p", "momo": "1080p",
 }
