@@ -1624,6 +1624,85 @@ def gmfssstages_mode():
     timed("infer_total_smoothflow", infer_j, f0, f1, cache_s, t)
 
 
+def m2mstages_mode(batch=1):
+    """Attribution inside M2M (VERDICT r5 #1: 2.20 f/s = 0.18x, the 2nd-worst
+    matrix row, and the reuse-b4 program crashes the compile helper so the
+    composed path was never attributed). Times the pair_reuse half (PWC
+    pyramid + MotionRefineNet + metrics) and the pair_infer half (the batched
+    2*BRANCH*n full-res softsplat + merge) as SEPARATE jitted programs —
+    each far below the helper's size ceiling — plus a smooth-in-band-flow
+    variant of infer (the regime real checkpoints produce; random weights
+    emit rough flows, the splat kernel's worst case)."""
+    import time
+
+    from comfyui_frame_interpolation_tpu.models import m2m
+    from comfyui_frame_interpolation_tpu.models.common import cast_params
+    from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+
+    prev = os.environ.get("CFI_TPU_SPLAT")
+    os.environ["CFI_TPU_SPLAT"] = "pallas"  # match bench_m2m (see its note)
+    try:
+        def build():
+            return _load_ref(
+                "vfi_models/m2m/M2M_arch.py", "bench_m2m_arch"
+            ).M2M_PWC()
+
+        params = cast_params(_reference_params(build), jnp.bfloat16)
+        f0 = _rand_frames(batch, 1080, 1920, 0).astype(jnp.bfloat16)
+        f1 = _rand_frames(batch, 1080, 1920, 1).astype(jnp.bfloat16)
+        t = jnp.full((batch,), 0.5, jnp.bfloat16)
+
+        reuse_j = jax.jit(lambda a, b: m2m.pair_reuse(params, a, b))
+        infer_j = jax.jit(
+            lambda cache, tt: m2m.pair_infer(params, cache, tt, (1080, 1920))
+        )
+
+        def timed(tag, fn, *args, iters=5):
+            try:
+                t0 = time.perf_counter()
+                out = jax.block_until_ready(fn(*args))
+                compile_s = round(time.perf_counter() - t0, 1)
+
+                def fence(*a):
+                    return sum(
+                        jnp.sum(x.astype(jnp.float32))
+                        for x in jax.tree_util.tree_leaves(fn(*a))
+                    )
+                sec = measure(fence, *args, iters=iters)
+                print(json.dumps({"metric": f"m2mstage_{tag}_ms",
+                                  "value": round(sec * 1e3, 1),
+                                  "compile_s": compile_s}), flush=True)
+                return out
+            except Exception as exc:
+                print(json.dumps({"metric": f"m2mstage_{tag}_error",
+                                  "error": repr(exc)[:250]}), flush=True)
+                return None
+
+        cache = timed("reuse", reuse_j, f0, f1)
+        if cache is None:
+            return
+        timed("infer", infer_j, cache, t)
+
+        # smooth in-band branch flows (see gmfssstages_mode for rationale)
+        nb, hp, wp, _ = cache["fwd_b"].shape
+        yy = jnp.linspace(0.0, 2.0 * jnp.pi, hp)[None, :, None]
+        xx = jnp.linspace(0.0, 2.0 * jnp.pi, wp)[None, None, :]
+        fx = 24.0 * jnp.sin(xx + 2 * yy) * jnp.cos(yy)
+        fy = 18.0 * jnp.cos(2 * xx - yy) * jnp.sin(yy)
+        smooth = jnp.broadcast_to(
+            jnp.stack([fx, fy], -1), (nb, hp, wp, 2)
+        ).astype(cache["fwd_b"].dtype)
+        cache_s = dict(cache)
+        cache_s["fwd_b"] = smooth
+        cache_s["bwd_b"] = -smooth
+        timed("infer_smoothflow", infer_j, cache_s, t)
+    finally:
+        if prev is None:
+            os.environ.pop("CFI_TPU_SPLAT", None)
+        else:
+            os.environ["CFI_TPU_SPLAT"] = prev
+
+
 def filmstages_mode(batch=2, height=1080, width=1920, iters=5):
     """Per-stage on-chip timing of FILM's forward (pyramid / features / flow /
     warp / fuse), plus the composed total — the forensics that localizes the
@@ -1743,7 +1822,7 @@ def main():
         "--metric", default="rife",
         choices=["rife", "psnr", "psnr_torch", "all", "matrix", "warpshapes",
                  "batchsweep", "filmstages", "gridprobe", "slowstages",
-                 "gmfssstages"]
+                 "gmfssstages", "m2mstages"]
         + sorted(_RES),
     )
     ap.add_argument(
@@ -1781,6 +1860,9 @@ def main():
         return
     if args.metric == "gmfssstages":
         gmfssstages_mode()
+        return
+    if args.metric == "m2mstages":
+        m2mstages_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]

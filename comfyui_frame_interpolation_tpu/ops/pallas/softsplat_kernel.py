@@ -504,18 +504,27 @@ def _splat_kernel_stacked(
                 def _(tx=tx, ty=ty, bad=bad, r0=r0, c0=c0):
                     tx = jnp.where(bad, -1e9, tx)
                     ty = jnp.where(bad, -1e9, ty)
-                    y0 = jnp.floor(ty)
-                    wy1 = ty - y0
-                    ly = y0.astype(jnp.int32) - ty0
-                    fy0v = (y0 >= 0) & (y0 <= h - 1)
-                    fy1v = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
-
                     txT = jnp.transpose(tx)  # [128, 8]
+                    # tent form: the bilinear tap weight at output column
+                    # tx0+n is max(0, 1 - |tx - (tx0+n)|) — same taps as the
+                    # two one-hots (1-frac at floor, frac at floor+1) at ~half
+                    # the VPU passes (no floor/int casts/eq-masks; weight
+                    # agreement is within 1 ulp, far under the op tolerance).
+                    # Frame-validity masks are redundant here: a tap only
+                    # matches an in-tile column/row, which is in-frame by
+                    # construction (w, h are tile-padded dims). NOTE a per-row
+                    # pl.when skip + acc_ref accumulation was measured and
+                    # REJECTED: smooth-flow splats improved but the composed
+                    # rough-flow GMFSS bench regressed 1.61 -> 1.12 f/s (the
+                    # row branches + [C,8,128] read-modify-writes cost more
+                    # than the skipped slab math when live rows are sparse).
                     n_iota = jax.lax.broadcasted_iota(
                         jnp.int32, (TILE_W, TILE_W), 1
                     )
+                    xcols = (tx0 + n_iota).astype(jnp.float32)
+                    yrows = (ty0 + iota_s).astype(jnp.float32)
                     # [C, TILE_H, TILE_W] source block: ALL channels ride one
-                    # slab/ymask build per source row rr below — the one-hot
+                    # slab/ymask build per source row rr below — the tent
                     # construction (flow-dependent, VPU) is channel-invariant,
                     # and stacking channels into a single [C*8, 128] LHS turns
                     # c tiny 8-row MXU passes into one full-height matmul.
@@ -527,32 +536,11 @@ def _splat_kernel_stacked(
                         tx_col = jax.lax.broadcast_in_dim(
                             txT[:, rr : rr + 1], (TILE_W, TILE_W), (0, 1)
                         )
-                        x0_col = jnp.floor(tx_col)
-                        wx1_col = tx_col - x0_col
-                        lx_col = x0_col.astype(jnp.int32) - tx0
-                        vx0_col = (x0_col >= 0) & (x0_col <= w - 1)
-                        vx1_col = (x0_col + 1 >= 0) & (x0_col + 1 <= w - 1)
-                        slab = jnp.where(
-                            (lx_col == n_iota) & vx0_col, 1.0 - wx1_col, 0.0
-                        ) + jnp.where(
-                            (lx_col + 1 == n_iota) & vx1_col, wx1_col, 0.0
+                        slab = jnp.maximum(0.0, 1.0 - jnp.abs(tx_col - xcols))
+                        ty_r = jax.lax.broadcast_in_dim(
+                            ty[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
                         )
-
-                        ly_r = jax.lax.broadcast_in_dim(
-                            ly[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
-                        )
-                        wy1_r = jax.lax.broadcast_in_dim(
-                            wy1[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
-                        )
-                        vy0_r = jax.lax.broadcast_in_dim(
-                            fy0v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
-                        )
-                        vy1_r = jax.lax.broadcast_in_dim(
-                            fy1v[rr : rr + 1, :], (TILE_H, TILE_W), (0, 1)
-                        )
-                        ymask = jnp.where(
-                            (ly_r == iota_s) & vy0_r, 1.0 - wy1_r, 0.0
-                        ) + jnp.where((ly_r + 1 == iota_s) & vy1_r, wy1_r, 0.0)
+                        ymask = jnp.maximum(0.0, 1.0 - jnp.abs(ty_r - yrows))
                         lhs = block[:, rr : rr + 1, :] * ymask[None]
                         acc3 = acc3 + jnp.dot(
                             lhs.reshape(c * TILE_H, TILE_W), slab,
