@@ -92,24 +92,32 @@ def main():
     coords1 = coords0 + flow
 
     pyr_fn = jax.jit(eisai._corr_pyramid)
+    print("building pyramid ...", flush=True)
     pyr = jax.block_until_ready(pyr_fn(fmap1, fmap2))
-    vol_ms = measure(pyr_fn, fmap1, fmap2, iters=10, rounds=3) * 1e3
-    print(f"volume pyramid build: {vol_ms:.2f} ms")
+    pyr_sum = jax.jit(
+        lambda a, b: sum(jnp.sum(p) for p in eisai._corr_pyramid(a, b))
+    )
+    print("measuring pyramid ...", flush=True)
+    vol_ms = measure(pyr_sum, fmap1, fmap2, iters=10, rounds=3) * 1e3
+    print(f"volume pyramid build: {vol_ms:.2f} ms", flush=True)
 
     lookup = jax.jit(lambda c: eisai._corr_lookup(pyr, c))
     corr = jax.block_until_ready(lookup(coords1))
     ms = measure(lookup, coords1, iters=10, rounds=3) * 1e3
-    print(f"lookup (4 levels): {ms:.2f} ms")
+    print(f"lookup (4 levels): {ms:.2f} ms", flush=True)
 
     upd = jax.jit(
-        lambda net, corr, flow: eisai._update_block(
-            p["update_block"], net, inp, corr.astype(dtype),
-            flow.astype(dtype),
+        lambda net, corr, flow: sum(
+            jnp.sum(o.astype(jnp.float32))
+            for o in eisai._update_block(
+                p["update_block"], net, inp, corr.astype(dtype),
+                flow.astype(dtype),
+            )
         )
     )
     jax.block_until_ready(upd(net, corr, flow))
     ms = measure(upd, net, corr, flow, iters=10, rounds=3) * 1e3
-    print(f"update block: {ms:.2f} ms")
+    print(f"update block: {ms:.2f} ms", flush=True)
 
     def one_step(net, c1):
         corr = eisai._corr_lookup(pyr, c1)
@@ -119,10 +127,15 @@ def main():
         )
         return net, c1 + delta.astype(jnp.float32), up_mask
 
-    step = jax.jit(lambda net, c1: one_step(net, c1)[:2])
+    def _fence2(fn):
+        return jax.jit(lambda a, b: sum(
+            jnp.sum(o.astype(jnp.float32)) for o in fn(a, b)
+        ))
+
+    step = _fence2(lambda net, c1: one_step(net, c1)[:2])
     jax.block_until_ready(step(net, coords1))
     ms_step = measure(step, net, coords1, iters=10, rounds=3) * 1e3
-    print(f"one full step: {ms_step:.2f} ms")
+    print(f"one full step: {ms_step:.2f} ms", flush=True)
 
     def scan12(net, c1):
         def body(carry, _):
@@ -132,16 +145,16 @@ def main():
         (net, c1), _ = jax.lax.scan(body, (net, c1), None, length=12)
         return net, c1
 
-    scan_j = jax.jit(scan12)
+    scan_j = _fence2(scan12)
     jax.block_until_ready(scan_j(net, coords1))
     ms_scan = measure(scan_j, net, coords1, iters=3, rounds=3) * 1e3
-    print(f"12-iter scan: {ms_scan:.2f} ms ({ms_scan / 12:.2f} /iter)")
+    print(f"12-iter scan: {ms_scan:.2f} ms ({ms_scan / 12:.2f} /iter)", flush=True)
 
     mask = jnp.asarray(rng.standard_normal((b, gh, gw, 576)), dtype)
     ups = jax.jit(lambda f, m: eisai._convex_upsample_flow(f, m))
     jax.block_until_ready(ups(flow, mask))
     ms = measure(ups, flow, mask, iters=10, rounds=3) * 1e3
-    print(f"convex upsample (once): {ms:.2f} ms")
+    print(f"convex upsample (once): {ms:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
