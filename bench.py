@@ -1022,10 +1022,86 @@ def psnr_torch_mode(only=None):
         {"ckpt_name": "eisai", "iters": 4, **kw2}, params_of=_eisai_params,
     )
 
-    emit("momo", "fp32", None,
-         skipped="torch reference denoiser is diffusers' UNet blocks "
-                 "(vfi_models/momo/unet.py:22-28); diffusers absent in this "
-                 "image — JAX pieces covered by tests/test_model_parity_momo.py")
+    def _momo_case():
+        """MoMo composed row: full denoise loop + synthesis (momo.py:153-224)
+        on an IDENTICAL injected noise sequence both sides (the only sound
+        A/B for a stochastic sampler). Torch oracle = the reference arch
+        against the clean-room diffusers shim in tests/vendored (covers
+        exactly the subset vfi_models/momo/unet.py:22-28 imports). Runs the
+        model-level composed path (apply with noise injection) rather than
+        the node wrapper — the node only adds 64-padding around it."""
+        from test_model_parity_momo import (
+            _install_diffusers_shim, _stub_torchvision,
+        )
+        from conftest import load_reference_module
+        from comfyui_frame_interpolation_tpu.models import momo as momo_jax
+
+        _install_diffusers_shim()
+        _stub_torchvision()
+        synth_mod = load_reference_module(
+            "vfi_models/momo/synthesis.py", "psnr_momo_synthesis")
+        ref_momo = load_reference_module(
+            "vfi_models/momo/momo.py", "psnr_momo_full")
+
+        torch.manual_seed(0)
+        model = ref_momo.MoMo(synth_model=synth_mod.SynthesisNet()).eval()
+
+        b, hh, ww, steps = 1, 128, 192, 8
+        fr = _demo_frames_np(2, hh, ww)
+        x0 = np.ascontiguousarray(fr[0].transpose(2, 0, 1))[None]
+        x1 = np.ascontiguousarray(fr[1].transpose(2, 0, 1))[None]
+        x = torch.stack([torch.from_numpy(x0), torch.from_numpy(x1)], dim=2)
+
+        rng = np.random.default_rng(11)
+        noises = [rng.standard_normal((b, 4, hh, ww)).astype(np.float32)
+                  for _ in range(steps + 1)]
+        queue = [torch.from_numpy(n) for n in noises]
+        orig_randn = torch.randn
+
+        def fake_randn(*shape, **kwargs):
+            if shape and isinstance(shape[0], (tuple, torch.Size)):
+                shape = tuple(shape[0])
+            n = queue.pop(0)
+            assert tuple(n.shape) == tuple(shape), (n.shape, shape)
+            return n.to(dtype=kwargs.get("dtype") or torch.float32)
+
+        torch.randn = fake_randn
+        try:
+            with torch.no_grad():
+                ref_out, _ = model(x, num_inference_steps=steps)
+        finally:
+            torch.randn = orig_randn
+        want = ref_out.numpy().transpose(0, 2, 3, 1)[0]
+
+        params = _conv(model)
+        nhwc = lambda a: jnp.asarray(a.transpose(0, 2, 3, 1))
+        for dt, cast in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
+            try:
+                ctx = (jax.default_matmul_precision("highest")
+                       if dt == "fp32" else contextlib.nullcontext())
+                from comfyui_frame_interpolation_tpu.models.common import (
+                    cast_params,
+                )
+                p = cast_params(params, cast) if dt == "bf16" else params
+                with ctx:
+                    out = momo_jax.apply(
+                        p, nhwc(x0).astype(cast), nhwc(x1).astype(cast),
+                        num_inference_steps=steps,
+                        init_latents=nhwc(noises[0]),
+                        step_noises=[nhwc(n) for n in noises[1:]],
+                    )
+                out = jax.block_until_ready(out)
+                emit("momo", dt, psnr(np.asarray(out, np.float32), want),
+                     resolution=f"{hh}x{ww}", steps=steps,
+                     oracle="tests/vendored diffusers shim, injected noise")
+            except Exception as exc:
+                emit("momo", dt, None, error=repr(exc)[:300])
+
+    if not only or "momo" in only:
+        try:
+            _momo_case()
+        except Exception as exc:
+            emit("momo", "fp32", None, error=repr(exc)[:300])
 
     if not only:
         path = _write_psnr_artifact(results)
@@ -1624,6 +1700,124 @@ def gmfssstages_mode():
     timed("infer_total_smoothflow", infer_j, f0, f1, cache_s, t)
 
 
+def eisaistages_mode():
+    """Attribution inside EISAI (VERDICT r5 #1: 0.13 f/s = 0.04x, the worst
+    matrix row). The r4 slowstages number (RAFT = 88% at ~518 ms/iter) is now
+    known to be a measurement artifact: the probe jits closed over the ~1 GB
+    correlation volume as a CONSTANT, which overwhelmed the remote compile
+    helper; with the pyramid passed as data (tools/probe_raft_iter.py), one
+    full GRU step measures 14 ms and the 12-iter scan 8.3 ms/iter at b4 —
+    RAFT is NOT the sink. This times the composed halves and the
+    SoftsplatLite sub-stages (12 softmax-splats across 6 scales + 3 NEDTs)
+    over realistic intermediates to find where the 7.7 s/pair actually go."""
+    import time
+
+    _tests_dir_importable()
+    import torch
+
+    import test_model_parity_eisai as E
+    import torch_ops_stub
+
+    from comfyui_frame_interpolation_tpu.models import eisai
+    from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+    from comfyui_frame_interpolation_tpu.utils.ckpt import nest_state_dict
+
+    torch_ops_stub.install()
+    E._install_kornia_stub()
+    E._install_torchvision_stub()
+    E._install_cv2_stub()
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    from conftest import load_reference_module
+
+    arch = load_reference_module(
+        "vfi_models/eisai/eisai_arch.py", "es_eisai_arch"
+    )
+    torch.manual_seed(0)
+    params = {
+        "raft": nest_state_dict(arch.RAFT(None).eval().state_dict())["raft"],
+        "ssl": nest_state_dict(arch.SoftsplatLite().eval().state_dict()),
+        "dtm": nest_state_dict(arch.DTM().eval().state_dict()),
+    }
+    from comfyui_frame_interpolation_tpu.models.common import cast_params
+    dtype = jnp.bfloat16
+    params = cast_params(params, dtype)
+
+    f0 = _rand_frames(1, 540, 960, 0).astype(dtype)
+    f1 = _rand_frames(1, 540, 960, 1).astype(dtype)
+    t = jnp.full((1, 1, 1, 1), 0.5, jnp.float32)
+
+    reuse_fn, infer_fn = eisai.make_pair_fns(params, dtype=dtype)
+
+    def timed(tag, fn, *args, iters=3):
+        try:
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(fn(*args))
+            compile_s = round(time.perf_counter() - t0, 1)
+
+            def fence(*a):
+                return sum(
+                    jnp.sum(x.astype(jnp.float32))
+                    for x in jax.tree_util.tree_leaves(fn(*a))
+                )
+            sec = measure(fence, *args, iters=iters)
+            print(json.dumps({"metric": f"eisaistage_{tag}_ms",
+                              "value": round(sec * 1e3, 1),
+                              "compile_s": compile_s}), flush=True)
+            return out
+        except Exception as exc:
+            print(json.dumps({"metric": f"eisaistage_{tag}_error",
+                              "error": repr(exc)[:250]}), flush=True)
+            return None
+
+    cache = timed("reuse_raft_x2", reuse_fn, f0, f1)
+    if cache is None:
+        return
+    flow0, flow1 = cache
+
+    # SSL sub-stages over realistic flows
+    nedt_j = jax.jit(lambda a: eisai.nedt(a))
+    timed("nedt_once", nedt_j, f0)
+    zs = jax.jit(
+        lambda a, b, u, v: eisai._flow_z_metric(a, b, u, v)
+    )
+    z = timed("z_metric", zs, f0, f1, flow0, flow1)
+    if z is not None:
+        z0, z1 = z
+        img0n = jnp.concatenate([f0, eisai.nedt(f0)], axis=-1)
+        img1n = jnp.concatenate([f1, eisai.nedt(f1)], axis=-1)
+        hw_j = jax.jit(
+            lambda a, b, u, v, x, y: eisai._half_warper(a, b, u, v, x, y, 5, 0.5)
+        )
+        timed("halfwarp_fullres", hw_j, img0n, img1n, flow0, flow1, z0, z1)
+        feats_j = jax.jit(
+            lambda a: eisai._resnet_features(params["ssl"]["feature_extractor"], a)
+        )
+        timed("resnet_feats", feats_j, img0n)
+    ssl_j = jax.jit(
+        lambda a, b, u, v, tt: eisai.ssl_forward(params["ssl"], a, b, u, v, t=tt)
+    )
+    ssl_out = timed("ssl_total", ssl_j, f0, f1, flow0, flow1, t)
+    if ssl_out is not None:
+        out_ssl, locs = ssl_out
+        dtm_j = jax.jit(
+            lambda o, l: eisai.dtm_forward(params["dtm"], o, l)
+        )
+        timed("dtm_total", dtm_j, out_ssl, locs)
+    timed("infer_total", infer_fn, f0, f1, cache, t)
+
+    # smooth in-band flows — the regime real checkpoints produce (random
+    # weights emit rough flows, the splat kernel's worst case)
+    fb, fh, fw = flow0.shape[:3]
+    yy = jnp.linspace(0.0, 2.0 * jnp.pi, fh)[None, :, None]
+    xx = jnp.linspace(0.0, 2.0 * jnp.pi, fw)[None, None, :]
+    fx = 24.0 * jnp.sin(xx + 2 * yy) * jnp.cos(yy)
+    fy = 18.0 * jnp.cos(2 * xx - yy) * jnp.sin(yy)
+    smooth = jnp.broadcast_to(
+        jnp.stack([fy, fx], -1), (fb, fh, fw, 2)  # (y, x) order post-raft_flow
+    ).astype(flow0.dtype)
+    timed("infer_total_smoothflow", infer_fn, f0, f1, (smooth, -smooth), t)
+
+
 def m2mstages_mode(batch=1):
     """Attribution inside M2M (VERDICT r5 #1: 2.20 f/s = 0.18x, the 2nd-worst
     matrix row, and the reuse-b4 program crashes the compile helper so the
@@ -1822,7 +2016,7 @@ def main():
         "--metric", default="rife",
         choices=["rife", "psnr", "psnr_torch", "all", "matrix", "warpshapes",
                  "batchsweep", "filmstages", "gridprobe", "slowstages",
-                 "gmfssstages", "m2mstages"]
+                 "gmfssstages", "m2mstages", "eisaistages"]
         + sorted(_RES),
     )
     ap.add_argument(
@@ -1863,6 +2057,9 @@ def main():
         return
     if args.metric == "m2mstages":
         m2mstages_mode()
+        return
+    if args.metric == "eisaistages":
+        eisaistages_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]

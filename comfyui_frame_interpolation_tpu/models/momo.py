@@ -318,9 +318,15 @@ def apply(
     num_inference_steps: int = 8,
     ckpt_name: str = "momo-base.pth",
     rng_key: Optional[jax.Array] = None,
+    init_latents: Optional[Array] = None,
+    step_noises: Optional[List[Array]] = None,
 ) -> Array:
     """MoMo.forward eval path (momo.py:153-224). ``timestep`` ignored (bisection
-    schedule, midpoint-only). Inputs pre-padded to 64 by the node."""
+    schedule, midpoint-only). Inputs pre-padded to 64 by the node.
+
+    ``init_latents``/``step_noises`` override the PRNG draws (initial latent
+    and per-step DDPM variance noise) — used by the torch-parity oracle to
+    run both implementations on an identical noise sequence."""
     del timestep
     dims = _DIMS[ckpt_name]
     if rng_key is None:
@@ -340,14 +346,20 @@ def apply(
     ts = scheduler.timesteps(num_inference_steps)
 
     key, sub = jax.random.split(rng_key)
-    latents = jax.random.normal(sub, (b, h, w, 4))
+    if init_latents is None:
+        latents = jax.random.normal(sub, (b, h, w, 4))
+    else:
+        latents = init_latents
 
     mdl = params["model"]
-    for t in ts:
+    for i, t in enumerate(ts):
         t_vec = jnp.full((b,), int(t), jnp.float32)
         pred = _convex_up_unet(mdl, latents, x0n, x1n, t_vec, dims)
         key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, latents.shape)
+        if step_noises is None:
+            noise = jax.random.normal(sub, latents.shape)
+        else:
+            noise = step_noises[i]
         latents = scheduler.step(pred, int(t), latents, num_inference_steps, noise)
 
     flows = latents * FLOW_SCALER

@@ -3,6 +3,7 @@ is checked for internal structural consistency (full parity requires the
 `diffusers` package, unavailable in this image — the test runs it if present).
 """
 
+import os
 import sys
 import types
 
@@ -77,12 +78,69 @@ def test_ddpm_trailing_timesteps():
     assert list(ts) == [999, 874, 749, 624, 499, 374, 249, 124]
 
 
-@pytest.mark.skipif(
-    not pytest.importorskip("importlib").util.find_spec("diffusers"),
-    reason="diffusers not installed",
-)
-def test_momo_full_parity():  # pragma: no cover - runs only with diffusers
-    pass
+def _install_diffusers_shim():
+    """Make ``import diffusers`` resolve — to the real package if installed,
+    else to the clean-room test shim in tests/vendored (covers exactly the
+    subset momo/unet.py:22-28 + momo.py:5 import)."""
+    import importlib.util
+
+    if importlib.util.find_spec("diffusers") is None:
+        vend = os.path.join(os.path.dirname(__file__), "vendored")
+        if vend not in sys.path:
+            sys.path.insert(0, vend)
+
+
+def test_momo_full_parity(ref_synth):
+    """Composed eval-path parity: full denoise loop + synthesis vs the
+    reference MoMo (momo.py:153-224) on an identical injected noise sequence."""
+    _install_diffusers_shim()
+    _stub_torchvision()
+    ref_momo = load_reference_module("vfi_models/momo/momo.py", "ref_momo_full")
+
+    torch.manual_seed(7)
+    model = ref_momo.MoMo(synth_model=ref_synth.SynthesisNet()).eval()
+
+    b, hh, ww, steps = 1, 128, 128, 4
+    rng = np.random.default_rng(3)
+    x0 = rng.random((b, 3, hh, ww), dtype=np.float32)
+    x1 = rng.random((b, 3, hh, ww), dtype=np.float32)
+    x = torch.stack([torch.from_numpy(x0), torch.from_numpy(x1)], dim=2)
+
+    # deterministic noise: initial latent + one variance draw per t>0 step
+    noises = [rng.standard_normal((b, 4, hh, ww)).astype(np.float32) for _ in range(steps + 1)]
+    queue = [torch.from_numpy(n) for n in noises]
+    orig_randn = torch.randn
+
+    def fake_randn(*shape, **kwargs):
+        if shape and isinstance(shape[0], (tuple, torch.Size)):
+            shape = tuple(shape[0])
+        n = queue.pop(0)
+        assert tuple(n.shape) == tuple(shape), (n.shape, shape)
+        return n.to(dtype=kwargs.get("dtype") or torch.float32)
+
+    torch.randn = fake_randn
+    try:
+        with torch.no_grad():
+            ref_out, ref_flows = model(x, num_inference_steps=steps)
+    finally:
+        torch.randn = orig_randn
+    assert not queue  # every injected draw was consumed
+
+    params = to_jax_tree(nest_state_dict(model.state_dict()))
+    nhwc = lambda a: jnp.asarray(a.transpose(0, 2, 3, 1))
+    out = momo.apply(
+        params,
+        nhwc(x0),
+        nhwc(x1),
+        num_inference_steps=steps,
+        init_latents=nhwc(noises[0]),
+        step_noises=[nhwc(n) for n in noises[1:]],
+    )
+    got = np.asarray(out).transpose(0, 3, 1, 2)
+    want = ref_out.numpy()
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= 40.0, f"composed MoMo PSNR {psnr:.1f} dB < 40"
 
 
 @pytest.mark.parametrize("ckpt", momo.CKPT_NAMES)
