@@ -109,6 +109,38 @@ def _measure_pair_model(model_fn, batch, height, width, iters=5, tag=None):
     return batch / sec
 
 
+def _measure_pair_split_model(reuse_fn, infer_fn, batch, height, width,
+                              iters=5, tag=None):
+    """Measure the pair-cached node path (run_plan_pair_cached): reuse_fn once
+    per pair + infer_fn once per timestep, chained per measured call — i.e.
+    the 2x-interpolation cost of the path the node classes actually execute.
+
+    This exists because ONE family (EISAI) compiles pathologically as a
+    single monolithic XLA program (0.22 f/s) while the exact same compute
+    split at the node's reuse/infer boundary runs at ~8 f/s — see
+    docs/PROBES_r5.md; benches must measure the shipped path."""
+    import time
+
+    from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+    from comfyui_frame_interpolation_tpu.utils.profiling import maybe_profile
+
+    if tag is None:
+        tag = sys._getframe(1).f_code.co_name
+    f0 = _rand_frames(batch, height, width, 0)
+    f1 = _rand_frames(batch, height, width, 1)
+    t = jnp.full((batch,), 0.5, jnp.float32)
+
+    def chain(a, b, tt):
+        return infer_fn(a, b, reuse_fn(a, b), tt)
+
+    t0 = time.perf_counter()
+    float(jnp.sum(chain(f0, f1, t)))  # cold compile (or cache hit) + warm
+    _LAST_COMPILE_S["value"] = round(time.perf_counter() - t0, 1)
+    with maybe_profile(tag):
+        sec = measure(chain, f0, f1, t, iters=iters)
+    return batch / sec
+
+
 def _load_ref(relpath, name):
     """Load a reference torch arch file by path with the comfy host API
     stubbed. Standalone copy of the tests' loader — importing tests/conftest
@@ -413,9 +445,15 @@ def bench_eisai(batch=1):
         "ssl": nest_state_dict(ssl.state_dict()),
         "dtm": nest_state_dict(dtm.state_dict()),
     }
-    return _measure_pair_model(
-        eisai.make_model_fn(params, dtype=jnp.bfloat16), batch, 540, 960,
-        iters=3,
+    # Measure the node's execution path (run_plan_pair_cached over
+    # make_pair_fns, vfi_nodes.py EISAI): reuse (RAFT x2) + infer (SSL+DTM)
+    # as the two jitted programs the node dispatches. The monolithic
+    # make_model_fn jit of the SAME compute compiles pathologically
+    # (0.22 f/s vs ~8 f/s split at identical shapes — docs/PROBES_r5.md);
+    # users never run it: every executor path for EISAI is pair-cached.
+    reuse_fn, infer_fn = eisai.make_pair_fns(params, dtype=jnp.bfloat16)
+    return _measure_pair_split_model(
+        reuse_fn, infer_fn, batch, 540, 960, iters=3, tag="bench_eisai",
     )
 
 
@@ -482,9 +520,14 @@ def bench_xvfi(batch=2):
         ).XVFInet(args)
 
     params = _reference_params(build)
-    return _measure_pair_model(
-        xvfi.make_model_fn(params, "XVFInet_Vimeo_exp1_latest.pt"),
-        batch, 1080, 1920, iters=3,
+    # node path (run_plan_pair_cached over make_pair_fns): feature pyramid +
+    # flow levels once per pair, CFR+RefineUNet per timestep; bf16 like the
+    # other splat families
+    reuse_fn, infer_fn = xvfi.make_pair_fns(
+        params, "XVFInet_Vimeo_exp1_latest.pt", dtype=jnp.bfloat16
+    )
+    return _measure_pair_split_model(
+        reuse_fn, infer_fn, batch, 1080, 1920, iters=3, tag="bench_xvfi",
     )
 
 

@@ -209,6 +209,14 @@ def _vfinet_level(
     scale: int,
 ):
     """VFInet.forward for one level (xvfi_arch.py:139-244)."""
+    flow, flow_tmp = _level_flow(p, feat01, flow_prev)
+    if level != 0:
+        return flow
+    return _level0_synth(p, img0, img1, feat01, flow, flow_tmp, t_value, scale)
+
+
+def _level_flow(p: Params, feat01: Array, flow_prev: Optional[Array]):
+    """The t-independent flow half of a VFInet level (xvfi_arch.py:139-185)."""
     b2 = feat01.shape[0]
     b = b2 // 2
     feat0 = feat01[:b]
@@ -230,10 +238,18 @@ def _vfinet_level(
             p["conv_flow2"], jnp.concatenate([a, bb, up], -1)
         )
         flow = flow_tmp[..., :4] + up
+    return flow, flow_tmp
 
-    if level != 0:
-        return flow
 
+def _level0_synth(
+    p: Params, img0: Array, img1: Array, feat01: Array,
+    flow: Array, flow_tmp: Array, t_value, scale: int,
+) -> Array:
+    """The t-dependent synthesis tail of level 0 (xvfi_arch.py:186-244):
+    Complementary Flow Reversal + backwarps + RefineUNet blend."""
+    b = feat01.shape[0] // 2
+    feat0 = feat01[:b]
+    feat1 = feat01[b:]
     t = t_value
     flow01 = flow[..., :2]
     flow10 = flow[..., 2:4]
@@ -301,21 +317,31 @@ def apply(
     """XVFInet.forward, inference path (xvfi_arch.py:41-80). Inputs must be
     padded so H, W divide 2**s_tst * scale * 4 (the node pads)."""
     b, h, w, _ = img0.shape
-    x01 = jnp.concatenate([img0, img1], axis=0)  # folded T into batch
-    feats = feat_pyramid(params, x01, module_scale_factor, s_tst)
+    feat01_0, flow, flow_tmp = _flow_stage(
+        params, img0, img1, module_scale_factor, s_tst
+    )
     t = jnp.asarray(t_value, jnp.float32)
     if t.ndim > 0:
         t = t.reshape(-1, 1, 1, 1)
-    flow = None
-    for level in range(s_tst, 0, -1):
-        flow = _vfinet_level(
-            params["vfinet"], img0, img1, feats[level], flow, t, level,
-            module_scale_factor,
-        )
-    return _vfinet_level(
-        params["vfinet"], img0, img1, feats[0], flow, t, 0,
+    return _level0_synth(
+        params["vfinet"], img0, img1, feat01_0, flow, flow_tmp, t,
         module_scale_factor,
     )
+
+
+def _flow_stage(
+    params: Params, img0: Array, img1: Array, scale: int, s_tst: int
+):
+    """Everything t-independent: feature pyramid + the flow half of every
+    level (xvfi_arch.py:41-80 loop + :139-185). Reused across timesteps by
+    ``make_pair_fns`` — the reference recomputes it per timestep."""
+    x01 = jnp.concatenate([img0, img1], axis=0)  # folded T into batch
+    feats = feat_pyramid(params, x01, scale, s_tst)
+    flow = None
+    for level in range(s_tst, 0, -1):
+        flow, _ = _level_flow(params["vfinet"], feats[level], flow)
+    flow, flow_tmp = _level_flow(params["vfinet"], feats[0], flow)
+    return feats[0], flow, flow_tmp
 
 
 def make_model_fn(params: Params, ckpt_name: str, dtype=jnp.float32):
@@ -342,3 +368,44 @@ def make_model_fn(params: Params, ckpt_name: str, dtype=jnp.float32):
         return out[:, :h, :w, :].astype(jnp.float32)
 
     return model_fn
+
+
+def make_pair_fns(params: Params, ckpt_name: str, dtype=jnp.float32):
+    """Per-pair reuse split for ``run_plan_pair_cached``: the feature pyramid
+    and ALL flow levels (xvfi_arch.py:41-80 + :139-185) are t-independent and
+    run once per pair; only the level-0 CFR + RefineUNet synthesis re-runs
+    per timestep. The reference recomputes the whole stack per timestep."""
+    from .common import cast_params
+
+    cfg = CKPT_CONFIGS[ckpt_name]
+    scale, s_tst = cfg["module_scale_factor"], cfg["S_tst"]
+    divide = 2 ** s_tst * scale * 4
+    params = cast_params(params, dtype)
+
+    def _pad(f):
+        h, w = f.shape[1], f.shape[2]
+        ph = (divide - h % divide) % divide
+        pw = (divide - w % divide) % divide
+        if ph or pw:
+            f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        return f
+
+    @jax.jit
+    def reuse_fn(f0, f1):
+        return _flow_stage(
+            params, _pad(f0.astype(dtype)), _pad(f1.astype(dtype)),
+            scale, s_tst,
+        )
+
+    @jax.jit
+    def infer_fn(f0, f1, cache, t):
+        h, w = f0.shape[1], f0.shape[2]
+        feat01, flow, flow_tmp = cache
+        tt = jnp.asarray(t, jnp.float32).reshape(-1, 1, 1, 1)
+        out = _level0_synth(
+            params["vfinet"], _pad(f0.astype(dtype)), _pad(f1.astype(dtype)),
+            feat01, flow, flow_tmp, tt, scale,
+        )
+        return out[:, :h, :w, :].astype(jnp.float32)
+
+    return reuse_fn, infer_fn

@@ -899,12 +899,18 @@ class XVFI_VFI:
             )
         key = (id(params), ckpt_name, dtype)
         if key not in self._cache:
-            self._cache[key] = xvfi_model.make_model_fn(
+            self._cache[key] = xvfi_model.make_pair_fns(
                 params, ckpt_name, dtype=DTYPE_MAP[dtype]
             )
         plan = plan_timestep(
             frames.shape[0], mult, optional_interpolation_states,
             zero_drops_pair=False,
         )
-        out = run_plan(frames, plan, self._cache[key], batch_size=batch_size)
+        # feature pyramid + all flow levels run once per pair; only the
+        # level-0 CFR + RefineUNet tail re-runs per timestep (the reference
+        # recomputes everything per timestep — xvfi/__init__.py:49-115)
+        reuse_fn, infer_fn = self._cache[key]
+        out = run_plan_pair_cached(
+            frames, plan, reuse_fn, infer_fn, batch_size=batch_size
+        )
         return (postprocess_frames(out),)

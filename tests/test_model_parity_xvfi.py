@@ -59,3 +59,29 @@ def test_xvfi_parity(ref_xvfi, scale, s_tst, nf, hw):
         np.asarray(out).transpose(0, 3, 1, 2), ref_out.numpy(),
         rtol=1e-3, atol=2e-3,
     )
+
+    # the pair-cached split (node path) must agree with the torch reference
+    # too: reuse (feat pyramid + flow levels) once, synth tail per timestep.
+    # Exercises make_pair_fns' own padding branch (hw chosen divisible here,
+    # so also check an off-size crop which forces padding).
+    ckpt = (
+        "XVFInet_Vimeo_exp1_latest.pt" if scale == 2 else None
+    )
+    if ckpt is not None:
+        f0 = jnp.asarray(i0.numpy().transpose(0, 2, 3, 1))
+        f1 = jnp.asarray(i1.numpy().transpose(0, 2, 3, 1))
+        reuse_fn, infer_fn = xvfi.make_pair_fns(params, ckpt)
+        split_out = infer_fn(
+            f0, f1, reuse_fn(f0, f1), jnp.asarray(t.numpy().reshape(-1))
+        )
+        np.testing.assert_allclose(
+            np.asarray(split_out).transpose(0, 3, 1, 2), ref_out.numpy(),
+            rtol=1e-3, atol=2e-3,
+        )
+        # off-size input -> padding path
+        c0, c1 = f0[:, : h - 5, : w - 3], f1[:, : h - 5, : w - 3]
+        pout = infer_fn(
+            c0, c1, reuse_fn(c0, c1), jnp.asarray(t.numpy().reshape(-1))
+        )
+        assert pout.shape == (2, h - 5, w - 3, 3)
+        assert np.isfinite(np.asarray(pout)).all()

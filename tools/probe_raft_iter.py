@@ -101,9 +101,13 @@ def main():
     vol_ms = measure(pyr_sum, fmap1, fmap2, iters=10, rounds=3) * 1e3
     print(f"volume pyramid build: {vol_ms:.2f} ms", flush=True)
 
-    lookup = jax.jit(lambda c: eisai._corr_lookup(pyr, c))
-    corr = jax.block_until_ready(lookup(coords1))
-    ms = measure(lookup, coords1, iters=10, rounds=3) * 1e3
+    # NB: pass the ~1 GB pyramid as ARGUMENTS, never a closure constant —
+    # closed-over arrays can be embedded in the HLO and overwhelm the
+    # remote compile helper (this was why earlier probe runs hung here).
+    pyr = tuple(pyr)
+    lookup = jax.jit(lambda pr, c: eisai._corr_lookup(list(pr), c))
+    corr = jax.block_until_ready(lookup(pyr, coords1))
+    ms = measure(lookup, pyr, coords1, iters=10, rounds=3) * 1e3
     print(f"lookup (4 levels): {ms:.2f} ms", flush=True)
 
     upd = jax.jit(
@@ -119,35 +123,35 @@ def main():
     ms = measure(upd, net, corr, flow, iters=10, rounds=3) * 1e3
     print(f"update block: {ms:.2f} ms", flush=True)
 
-    def one_step(net, c1):
-        corr = eisai._corr_lookup(pyr, c1)
+    def one_step(pr, net, c1):
+        corr = eisai._corr_lookup(list(pr), c1)
         fl = c1 - coords0
         net, up_mask, delta = eisai._update_block(
             p["update_block"], net, inp, corr.astype(dtype), fl.astype(dtype)
         )
         return net, c1 + delta.astype(jnp.float32), up_mask
 
-    def _fence2(fn):
-        return jax.jit(lambda a, b: sum(
-            jnp.sum(o.astype(jnp.float32)) for o in fn(a, b)
+    def _fence3(fn):
+        return jax.jit(lambda pr, a, b: sum(
+            jnp.sum(o.astype(jnp.float32)) for o in fn(pr, a, b)
         ))
 
-    step = _fence2(lambda net, c1: one_step(net, c1)[:2])
-    jax.block_until_ready(step(net, coords1))
-    ms_step = measure(step, net, coords1, iters=10, rounds=3) * 1e3
+    step = _fence3(lambda pr, net, c1: one_step(pr, net, c1)[:2])
+    jax.block_until_ready(step(pyr, net, coords1))
+    ms_step = measure(step, pyr, net, coords1, iters=10, rounds=3) * 1e3
     print(f"one full step: {ms_step:.2f} ms", flush=True)
 
-    def scan12(net, c1):
+    def scan12(pr, net, c1):
         def body(carry, _):
             net, c1 = carry
-            net, c1, _ = one_step(net, c1)
+            net, c1, _ = one_step(pr, net, c1)
             return (net, c1), None
         (net, c1), _ = jax.lax.scan(body, (net, c1), None, length=12)
         return net, c1
 
-    scan_j = _fence2(scan12)
-    jax.block_until_ready(scan_j(net, coords1))
-    ms_scan = measure(scan_j, net, coords1, iters=3, rounds=3) * 1e3
+    scan_j = _fence3(scan12)
+    jax.block_until_ready(scan_j(pyr, net, coords1))
+    ms_scan = measure(scan_j, pyr, net, coords1, iters=3, rounds=3) * 1e3
     print(f"12-iter scan: {ms_scan:.2f} ms ({ms_scan / 12:.2f} /iter)", flush=True)
 
     mask = jnp.asarray(rng.standard_normal((b, gh, gw, 576)), dtype)
