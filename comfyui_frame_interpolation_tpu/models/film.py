@@ -120,7 +120,9 @@ def _predict_flow(p: Params, pyr_a: List[Array], pyr_b: List[Array]) -> List[Arr
     for i in range(levels - 2, n_fine - 1, -1):
         level_hw = pyr_a[i].shape[1:3]
         v = resize_bilinear(2.0 * v, level_hw, align_corners=False)
-        warped = warp(pyr_b[i], v)
+        # wide-channel feature warp -> rows-MXU kernel (PROBES r4 SS3 lever:
+        # one-hot builds amortize over C; diag stays for narrow warps)
+        warped = warp(pyr_b[i], v, prefer_mxu=pyr_b[i].shape[-1] >= 32)
         v_res = _flow_estimator(shared, pyr_a[i], warped, _FLOW_CONVS[-1])
         residuals.insert(0, v_res)
         v = v_res + v
@@ -129,7 +131,7 @@ def _predict_flow(p: Params, pyr_a: List[Array], pyr_b: List[Array]) -> List[Arr
         node = p["_predictors"][str(k)]
         level_hw = pyr_a[i].shape[1:3]
         v = resize_bilinear(2.0 * v, level_hw, align_corners=False)
-        warped = warp(pyr_b[i], v)
+        warped = warp(pyr_b[i], v, prefer_mxu=pyr_b[i].shape[-1] >= 32)
         v_res = _flow_estimator(node, pyr_a[i], warped, _FLOW_CONVS[i])
         residuals.insert(0, v_res)
         v = v_res + v
@@ -297,7 +299,10 @@ def stage_warp(
         bf, ff = bwd_flow[i], fwd_flow[i]
         flow_both = jnp.concatenate([bf, ff], axis=0)
         img_both = warp(pyr_both[i], flow_both)
-        feat_bothw = warp(feat_both[i], flow_both)
+        feat_bothw = warp(
+            feat_both[i], flow_both,
+            prefer_mxu=feat_both[i].shape[-1] >= 32,
+        )
         dt = img_both.dtype
         aligned.append([
             jnp.concatenate(

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -362,32 +364,51 @@ def _unet3d(p: Params, i0, i1, i2, i3, tilde) -> Array:
 _RGB_MEAN = (0.4631, 0.4352, 0.3990)
 
 
-def apply(params: Params, i0: Array, i1: Array, i2: Array, i3: Array) -> Array:
-    """``STMFNet_Model.forward`` (stmfnet_arch.py:2733-2856)."""
-    n, h0, w0, _ = i1.shape
+def _pad128(i0, i1, i2, i3):
+    h0, w0 = i1.shape[1], i1.shape[2]
     pad_h = (-h0) % 128
     pad_w = (-w0) % 128
     if pad_h or pad_w:
         pad = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
         i0, i1, i2, i3 = (jnp.pad(x, pad, mode="reflect") for x in (i0, i1, i2, i3))
-    h, w = i1.shape[1], i1.shape[2]
+    return i0, i1, i2, i3
 
+
+_KSTREAMS = {
+    "": (("Weight1", "weight"), ("Alpha1", "offset"), ("Beta1", "offset"),
+         ("Weight2", "weight"), ("Alpha2", "offset"), ("Beta2", "offset")),
+    "_ds": (("Weight1_ds", "weight_ds"), ("Alpha1_ds", "offset_ds"),
+            ("Beta1_ds", "offset_ds"), ("Weight2_ds", "weight_ds"),
+            ("Alpha2_ds", "offset_ds"), ("Beta2_ds", "offset_ds")),
+    "_us": (("Weight1_us", "weight_us"), ("Alpha1_us", "offset_us"),
+            ("Beta1_us", "offset_us"), ("Weight2_us", "weight_us"),
+            ("Alpha2_us", "offset_us"), ("Beta2_us", "offset_us")),
+}
+
+
+def stage_feats(params: Params, i1: Array, i2: Array) -> Array:
+    """Shared MS-ResNeXt feature extractor (stmfnet_arch.py:2752-2760)."""
     mean = jnp.asarray(_RGB_MEAN, i1.dtype)
-    feats = _feature_extractor(
+    return _feature_extractor(
         params["feature_extractor"], i1 - mean, i2 - mean
     )
 
-    ke = params["get_kernel"]
-    groups = [
-        ("Weight1_ds", "weight_ds"), ("Alpha1_ds", "offset_ds"), ("Beta1_ds", "offset_ds"),
-        ("Weight2_ds", "weight_ds"), ("Alpha2_ds", "offset_ds"), ("Beta2_ds", "offset_ds"),
-        ("Weight1", "weight"), ("Alpha1", "offset"), ("Beta1", "offset"),
-        ("Weight2", "weight"), ("Alpha2", "offset"), ("Beta2", "offset"),
-        ("Weight1_us", "weight_us"), ("Alpha1_us", "offset_us"), ("Beta1_us", "offset_us"),
-        ("Weight2_us", "weight_us"), ("Alpha2_us", "offset_us"), ("Beta2_us", "offset_us"),
-    ]
-    k = {name: _subnet(ke[f"module{name}"], feats, kind) for name, kind in groups}
 
+def stage_stream(
+    params: Params, feats: Array, i1: Array, i2: Array, suffix: str
+):
+    """One scale stream end-to-end: its 6 kernel-prediction subnets + the two
+    AdaCoF applications (stmfnet_arch.py:2761-2824 for the given scale).
+    Fusing prediction+application per stream keeps the bulky per-pixel
+    kernel/offset maps (the `_us` set alone is ~0.8 GB bf16 at 540p) out of
+    the inter-program HBM footprint — materializing all 18 across a stage
+    boundary RESOURCE_EXHAUSTED v5e."""
+    h, w = i1.shape[1], i1.shape[2]
+    ke = params["get_kernel"]
+    k = {
+        name: _subnet(ke[f"module{name}"], feats, kind)
+        for name, kind in _KSTREAMS[suffix]
+    }
     pad2 = ((0, 0), (2, 2), (2, 2), (0, 0))
 
     def adacof(img, wname, aname, bname):
@@ -395,28 +416,33 @@ def apply(params: Params, i0: Array, i1: Array, i2: Array, i3: Array) -> Array:
             jnp.pad(img, pad2, mode="edge"), k[wname], k[aname], k[bname], DILATION
         )
 
-    ada1 = adacof(i1, "Weight1", "Alpha1", "Beta1")
-    ada2 = adacof(i2, "Weight2", "Alpha2", "Beta2")
+    if suffix == "_ds":
+        # 1/2-scale stream with fixed gaussian blur (groups=3)
+        gk = params["gauss_kernel"]  # (3,1,5,5)
 
-    # 1/2-scale stream with fixed gaussian blur (groups=3)
-    gk = params["gauss_kernel"]  # (3,1,5,5)
-    def blur(x):
-        p2 = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
-        return conv2d(p2, {"weight": gk}, stride=1, padding=0, groups=3)
+        def blur(x):
+            p2 = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+            return conv2d(p2, {"weight": gk}, stride=1, padding=0, groups=3)
 
-    i1_ds = resize_bilinear(blur(i1), (h // 2, w // 2))
-    i2_ds = resize_bilinear(blur(i2), (h // 2, w // 2))
-    ada1_ds = adacof(i1_ds, "Weight1_ds", "Alpha1_ds", "Beta1_ds")
-    ada2_ds = adacof(i2_ds, "Weight2_ds", "Alpha2_ds", "Beta2_ds")
+        i1, i2 = (
+            resize_bilinear(blur(i1), (h // 2, w // 2)),
+            resize_bilinear(blur(i2), (h // 2, w // 2)),
+        )
+    elif suffix == "_us":
+        # 2x-scale stream via the fixed 8-tap upsampler
+        filt = params["upsampler"]["filter"]  # (3,1,1,8)
+        i1, i2 = _upsampler_8tap(filt, i1), _upsampler_8tap(filt, i2)
 
-    # 2x-scale stream via the fixed 8-tap upsampler
-    filt = params["upsampler"]["filter"]  # (3,1,1,8)
-    i1_us = _upsampler_8tap(filt, i1)
-    i2_us = _upsampler_8tap(filt, i2)
-    ada1_us = adacof(i1_us, "Weight1_us", "Alpha1_us", "Beta1_us")
-    ada2_us = adacof(i2_us, "Weight2_us", "Alpha2_us", "Beta2_us")
+    return (
+        adacof(i1, f"Weight1{suffix}", f"Alpha1{suffix}", f"Beta1{suffix}"),
+        adacof(i2, f"Weight2{suffix}", f"Alpha2{suffix}", f"Beta2{suffix}"),
+    )
 
-    # softsplat refinement stream
+
+def stage_flowsplat(params: Params, i1: Array, i2: Array):
+    """PWC flows both directions + photometric metrics + the two softmax
+    splats (stmfnet_arch.py:2824-2840)."""
+    h, w = i1.shape[1], i1.shape[2]
     pwc = params["flow_estimator"]
     pyr1 = _pwc_extract(pwc["netExtractor"], i1)
     pyr2 = _pwc_extract(pwc["netExtractor"], i2)
@@ -434,30 +460,83 @@ def apply(params: Params, i0: Array, i1: Array, i2: Array, i3: Array) -> Array:
     )
     splat1 = function_softsplat(i1, 0.5 * flow_12, metric_12, "softmax")
     splat2 = function_softsplat(i2, 0.5 * flow_21, metric_21, "softmax")
+    return splat1, splat2
 
+
+def stage_synth(params: Params, adas, splats) -> Array:
+    """MIMO-GridNet scale synthesis (stmfnet_arch.py:2841-2848)."""
+    ada1, ada2, ada1_ds, ada2_ds, ada1_us, ada2_us = adas
+    splat1, splat2 = splats
     rows = [
         jnp.concatenate([ada1_us, ada2_us], -1),
         jnp.concatenate([ada1, ada2, splat1, splat2], -1),
         jnp.concatenate([ada1_ds, ada2_ds], -1),
     ]
-    tilde = _mimo_gridnet(params["scale_synthesis"], rows)[0]
+    return _mimo_gridnet(params["scale_synthesis"], rows)[0]
 
+
+def stage_dyntex(params: Params, i0, i1, i2, i3, tilde) -> Array:
+    """UNet3d dynamic-texture residual + sum (stmfnet_arch.py:2849-2856)."""
     dyntex = _unet3d(params["dyntex_generator"], i0, i1, i2, i3, tilde)
-    out = tilde + dyntex
+    return tilde + dyntex
+
+
+def apply(params: Params, i0: Array, i1: Array, i2: Array, i3: Array) -> Array:
+    """``STMFNet_Model.forward`` (stmfnet_arch.py:2733-2856)."""
+    n, h0, w0, _ = i1.shape
+    i0, i1, i2, i3 = _pad128(i0, i1, i2, i3)
+    feats = stage_feats(params, i1, i2)
+    ada1, ada2 = stage_stream(params, feats, i1, i2, "")
+    ada1_ds, ada2_ds = stage_stream(params, feats, i1, i2, "_ds")
+    ada1_us, ada2_us = stage_stream(params, feats, i1, i2, "_us")
+    splats = stage_flowsplat(params, i1, i2)
+    tilde = stage_synth(
+        params, (ada1, ada2, ada1_ds, ada2_ds, ada1_us, ada2_us), splats
+    )
+    out = stage_dyntex(params, i0, i1, i2, i3, tilde)
     return out[:, :h0, :w0, :]
 
 
 def make_model_fn(params: Params, dtype=jnp.float32):
+    """Chained per-stage jitted programs, NOT one monolithic jit: the merged
+    STMFNet program compiles pathologically (40+ min at 540p, helper HTTP 500
+    at 1080p) and ran at 0.24 f/s — the same mono-jit pathology EISAI had
+    (docs/PROBES_r5.md SS1). Kernel prediction + AdaCoF are fused PER SCALE
+    STREAM so the 18 per-pixel kernel/offset maps never cross a program
+    boundary (materializing them RESOURCE_EXHAUSTED v5e HBM)."""
     params = cast_params(params, dtype)
-    @jax.jit
+
+    feats_j = jax.jit(lambda a, b: stage_feats(params, a, b))
+    stream_j = {
+        sfx: jax.jit(
+            functools.partial(
+                lambda f, a, b, _s: stage_stream(params, f, a, b, _s), _s=sfx
+            )
+        )
+        for sfx in ("", "_ds", "_us")
+    }
+    flowsplat_j = jax.jit(lambda a, b: stage_flowsplat(params, a, b))
+    synth_j = jax.jit(lambda adas, splats: stage_synth(params, adas, splats))
+    dyntex_j = jax.jit(
+        lambda i0, i1, i2, i3, tilde: stage_dyntex(params, i0, i1, i2, i3, tilde)
+    )
+
     def model_fn(f0, f1, f2, f3):
-        out = apply(
-            params,
-            f0.astype(dtype),
-            f1.astype(dtype),
-            f2.astype(dtype),
+        h0, w0 = f1.shape[1], f1.shape[2]
+        i0, i1, i2, i3 = _pad128(
+            f0.astype(dtype), f1.astype(dtype), f2.astype(dtype),
             f3.astype(dtype),
         )
-        return out.astype(jnp.float32)
+        feats = feats_j(i1, i2)
+        adas = []
+        for sfx in ("", "_ds", "_us"):
+            adas.extend(stream_j[sfx](feats, i1, i2))
+        ada1, ada2, ada1_ds, ada2_ds, ada1_us, ada2_us = adas
+        splats = flowsplat_j(i1, i2)
+        tilde = synth_j(
+            (ada1, ada2, ada1_ds, ada2_ds, ada1_us, ada2_us), splats
+        )
+        out = dyntex_j(i0, i1, i2, i3, tilde)
+        return out[:, :h0, :w0, :].astype(jnp.float32)
 
     return model_fn

@@ -953,7 +953,9 @@ def warp_pallas_nhwc_tiered(
     return out.transpose(0, 2, 3, 1)
 
 
-def warp_pallas_tiered(img: Array, flow: Array, zeros: bool = False) -> Array:
+def warp_pallas_tiered(
+    img: Array, flow: Array, zeros: bool = False, prefer_mxu: bool = False
+) -> Array:
     """NHWC warp (border or zeros padding), always exact vs ``warp_xla``.
 
     Dispatch between the two bulk kernels: the MXU rows-layout kernel
@@ -962,8 +964,10 @@ def warp_pallas_tiered(img: Array, flow: Array, zeros: bool = False) -> Array:
     the lane-crossbar diagonal kernel regardless (its MXU matmul is a bf16x3
     decomposition — not bit-exact).
 
-    ``CFI_WARP_MXU``: ``0`` (default) never uses the rows kernel; ``auto``
-    uses it for bf16 c>=5; ``force`` always (kernel A/B testing).
+    ``CFI_WARP_MXU``: unset (default) honors the caller's ``prefer_mxu``
+    flag (models opt WIDE-channel warps in per call — e.g. FILM's in-flow
+    C=64..256 feature warps); ``0`` forces the diag kernel everywhere;
+    ``auto`` uses rows for bf16 c>=5; ``force`` always (kernel A/B).
 
     Measured history (v5e): the r4 `warpshapes` A/B — which drives SYNTHETIC
     rough flows — showed rows winning every bf16 c>=5 shape (c7: 171 vs 219
@@ -975,14 +979,16 @@ def warp_pallas_tiered(img: Array, flow: Array, zeros: bool = False) -> Array:
     locally smooth — diag wins there by >2x. The rows kernel stays for A/B
     and as the escape hatch for genuinely rough-flow workloads; `warpshapes`
     numbers must not be read as real-flow rankings."""
-    env = os.environ.get("CFI_WARP_MXU", "0")
+    env = os.environ.get("CFI_WARP_MXU", "")
     b, h, w, c = img.shape
     if env == "0":
         mxu = False
     elif env == "force":
         mxu = True
-    else:
+    elif env in ("auto", "1"):
         mxu = c >= 5 and jnp.dtype(img.dtype).itemsize <= 2
+    else:  # unset: per-call opt-in (rows kernel needs multi-byte-packed C)
+        mxu = prefer_mxu and jnp.dtype(img.dtype).itemsize <= 2
     # pad the bottom by the bulk kernel's diagonal reach so window bases for
     # the last tile rows are never clipped (see _diag_bases_fits /
     # _rows_bases_fits — the unaligned rows path needs the full win_h); edge

@@ -137,7 +137,12 @@ def warp_xla(img: Array, flow: Array, padding_mode: str = "border") -> Array:
     return bilinear_sample(img, gx + flow[..., 0], gy + flow[..., 1], padding_mode)
 
 
-def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
+def warp(
+    img: Array,
+    flow: Array,
+    padding_mode: str = "border",
+    prefer_mxu: bool = False,
+) -> Array:
     """Backward-warp ``img`` by ``flow`` (both NHWC; flow has 2 channels, x then y).
 
     Exactly ``rife_arch.py:31-70``: sample at ``(x + flow_x, y + flow_y)``,
@@ -171,7 +176,13 @@ def warp(img: Array, flow: Array, padding_mode: str = "border") -> Array:
         # (rare) pixels whose samples fell outside the window — no
         # data-dependent fallback (see warp_kernel.py); channel chunking
         # beyond the per-pass VMEM caps is handled inside
-        return warp_pallas_tiered(img, flow, zeros=padding_mode == "zeros")
+        # prefer_mxu: callers opt wide-channel (C>=32) bf16 warps onto the
+        # rows-layout MXU kernel, whose one-hot builds amortize over all
+        # channels (flow-independent cost); narrow warps stay on diag.
+        # CFI_WARP_MXU (0/auto/force) still overrides globally.
+        return warp_pallas_tiered(
+            img, flow, zeros=padding_mode == "zeros", prefer_mxu=prefer_mxu
+        )
     return warp_xla(img, flow, padding_mode)
 
 
