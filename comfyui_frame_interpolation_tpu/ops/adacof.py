@@ -27,18 +27,14 @@ Array = jnp.ndarray
 __all__ = ["adacof_func"]
 
 
-def _gather_hw(img: Array, iy: Array, ix: Array) -> Array:
-    """img [N,Hp,Wp,C], integer maps [N,H,W] → [N,H,W,C]."""
-    n, hp, wp, c = img.shape
-    flat = img.reshape(n, hp * wp, c)
-    idx = (iy * wp + ix).reshape(n, -1, 1)
-    out = jnp.take_along_axis(flat, idx, axis=1)
-    return out.reshape(n, iy.shape[1], iy.shape[2], c)
-
-
 def adacof_func(
     ten_in: Array, weight: Array, alpha: Array, beta: Array, dilation: int = 1
 ) -> Array:
+    """All 25 taps are vectorized along one axis so each bilinear corner is ONE
+    take_along_axis over [N, Hp*Wp, C] (4 large gathers total) instead of the
+    naive 100 small ones — XLA gather launch/index overhead dominates the
+    per-element cost at C=3 on TPU (stmfnet `_us` stream attribution,
+    docs/PROBES_r5.md)."""
     n, hp, wp, c = ten_in.shape
     _, h, w, ff = weight.shape
     f = int(round(ff**0.5))
@@ -47,30 +43,35 @@ def adacof_func(
     assert wp - ((f - 1) * dilation + 1) == w - 1
 
     dtype = ten_in.dtype
-    ys = jnp.arange(h, dtype=jnp.int32)[None, :, None]
-    xs = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.int32)[None, :, None, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, None, :, None]
+    ks = (jnp.arange(ff, dtype=jnp.int32) // f)[None, None, None, :]
+    ls = (jnp.arange(ff, dtype=jnp.int32) % f)[None, None, None, :]
 
-    out = jnp.zeros((n, h, w, c), dtype=jnp.float32)
-    for k in range(f):
-        for l in range(f):
-            t = k * f + l
-            a = alpha[..., t]
-            b = beta[..., t]
-            ai = jnp.trunc(a)  # C-style (int) cast: truncation toward zero
-            bi = jnp.trunc(b)
-            fa = (a - ai).astype(jnp.float32)[..., None]
-            fb = (b - bi).astype(jnp.float32)[..., None]
-            i0 = ys + k * dilation + ai.astype(jnp.int32)
-            j0 = xs + l * dilation + bi.astype(jnp.int32)
-            i0c = jnp.clip(i0, 0, hp - 1)
-            i1c = jnp.clip(i0 + 1, 0, hp - 1)
-            j0c = jnp.clip(j0, 0, wp - 1)
-            j1c = jnp.clip(j0 + 1, 0, wp - 1)
-            tap = (
-                _gather_hw(ten_in, i0c, j0c).astype(jnp.float32) * (1 - fa) * (1 - fb)
-                + _gather_hw(ten_in, i1c, j0c).astype(jnp.float32) * fa * (1 - fb)
-                + _gather_hw(ten_in, i0c, j1c).astype(jnp.float32) * (1 - fa) * fb
-                + _gather_hw(ten_in, i1c, j1c).astype(jnp.float32) * fa * fb
-            )
-            out = out + weight[..., t : t + 1].astype(jnp.float32) * tap
+    ai = jnp.trunc(alpha)  # C-style (int) cast: truncation toward zero
+    bi = jnp.trunc(beta)
+    fa = (alpha - ai).astype(jnp.float32)  # [N,H,W,FF]; in (-1,0] for a<0
+    fb = (beta - bi).astype(jnp.float32)
+    i0 = ys + ks * dilation + ai.astype(jnp.int32)  # [N,H,W,FF]
+    j0 = xs + ls * dilation + bi.astype(jnp.int32)
+    # each corner coordinate clamps independently (reference border behavior)
+    i0c = jnp.clip(i0, 0, hp - 1)
+    i1c = jnp.clip(i0 + 1, 0, hp - 1)
+    j0c = jnp.clip(j0, 0, wp - 1)
+    j1c = jnp.clip(j0 + 1, 0, wp - 1)
+
+    flat = ten_in.reshape(n, hp * wp, c)
+
+    def corner(iy: Array, ix: Array, cw: Array) -> Array:
+        idx = (iy * wp + ix).reshape(n, -1, 1)
+        g = jnp.take_along_axis(flat, idx, axis=1).reshape(n, h, w, ff, c)
+        return jnp.sum(cw[..., None] * g.astype(jnp.float32), axis=3)
+
+    wf = weight.astype(jnp.float32)
+    out = (
+        corner(i0c, j0c, wf * (1 - fa) * (1 - fb))
+        + corner(i1c, j0c, wf * fa * (1 - fb))
+        + corner(i0c, j1c, wf * (1 - fa) * fb)
+        + corner(i1c, j1c, wf * fa * fb)
+    )
     return out.astype(dtype)
