@@ -30,11 +30,17 @@ __all__ = ["adacof_func"]
 def adacof_func(
     ten_in: Array, weight: Array, alpha: Array, beta: Array, dilation: int = 1
 ) -> Array:
-    """All 25 taps are vectorized along one axis so each bilinear corner is ONE
-    take_along_axis over [N, Hp*Wp, C] (4 large gathers total) instead of the
-    naive 100 small ones — XLA gather launch/index overhead dominates the
-    per-element cost at C=3 on TPU (stmfnet `_us` stream attribution,
-    docs/PROBES_r5.md)."""
+    """All 25 taps are vectorized along one axis and the 4 bilinear corners are
+    pre-packed into a quad tensor, so the whole op is ONE take_along_axis over
+    [N, (Hp+1)*(Wp+1), 4C] instead of the naive 100 C=3-granularity gathers —
+    XLA gather launch/index overhead dominates the per-element cost at that
+    size on TPU (stmfnet `_us` stream attribution, docs/PROBES_r5.md §5).
+
+    Quad packing is EXACT w.r.t. the reference's independent per-corner clamp:
+    ``Q[g] = (I[max(g-1,0)], I[min(g, n-1)])`` per axis with
+    ``g = clip(p, -1, n-1) + 1`` reproduces ``(clip(p), clip(p+1))`` for every
+    integer p — interior, both-clamped-low (p <= -1 → (0, 0) via Q[0]) and
+    both-clamped-high (p >= n-1 → (n-1, n-1) via Q[n])."""
     n, hp, wp, c = ten_in.shape
     _, h, w, ff = weight.shape
     f = int(round(ff**0.5))
@@ -54,24 +60,39 @@ def adacof_func(
     fb = (beta - bi).astype(jnp.float32)
     i0 = ys + ks * dilation + ai.astype(jnp.int32)  # [N,H,W,FF]
     j0 = xs + ls * dilation + bi.astype(jnp.int32)
-    # each corner coordinate clamps independently (reference border behavior)
-    i0c = jnp.clip(i0, 0, hp - 1)
-    i1c = jnp.clip(i0 + 1, 0, hp - 1)
-    j0c = jnp.clip(j0, 0, wp - 1)
-    j1c = jnp.clip(j0 + 1, 0, wp - 1)
+    ig = jnp.clip(i0, -1, hp - 1) + 1  # quad row index in [0, hp]
+    jg = jnp.clip(j0, -1, wp - 1) + 1
 
-    flat = ten_in.reshape(n, hp * wp, c)
+    # x-pair: channel block 0 = corner j0c, block 1 = corner j1c
+    xp = jnp.concatenate(
+        [
+            jnp.concatenate([ten_in[:, :, :1], ten_in], axis=2),
+            jnp.concatenate([ten_in, ten_in[:, :, -1:]], axis=2),
+        ],
+        axis=-1,
+    )  # [N, Hp, Wp+1, 2C]
+    quad = jnp.concatenate(
+        [
+            jnp.concatenate([xp[:, :1], xp], axis=1),
+            jnp.concatenate([xp, xp[:, -1:]], axis=1),
+        ],
+        axis=-1,
+    )  # [N, Hp+1, Wp+1, 4C]: blocks (i0j0, i0j1, i1j0, i1j1)
+    flat = quad.reshape(n, (hp + 1) * (wp + 1), 4 * c)
 
-    def corner(iy: Array, ix: Array, cw: Array) -> Array:
-        idx = (iy * wp + ix).reshape(n, -1, 1)
-        g = jnp.take_along_axis(flat, idx, axis=1).reshape(n, h, w, ff, c)
-        return jnp.sum(cw[..., None] * g.astype(jnp.float32), axis=3)
+    idx = (ig * (wp + 1) + jg).reshape(n, -1, 1)
+    g = jnp.take_along_axis(flat, idx, axis=1)
+    g = g.reshape(n, h, w, ff, 4, c).astype(jnp.float32)
 
     wf = weight.astype(jnp.float32)
-    out = (
-        corner(i0c, j0c, wf * (1 - fa) * (1 - fb))
-        + corner(i1c, j0c, wf * fa * (1 - fb))
-        + corner(i0c, j1c, wf * (1 - fa) * fb)
-        + corner(i1c, j1c, wf * fa * fb)
-    )
+    cw = jnp.stack(
+        [
+            wf * (1 - fa) * (1 - fb),
+            wf * (1 - fa) * fb,
+            wf * fa * (1 - fb),
+            wf * fa * fb,
+        ],
+        axis=-1,
+    )  # [N,H,W,FF,4]
+    out = jnp.einsum("nhwtq,nhwtqc->nhwc", cw, g)
     return out.astype(dtype)
